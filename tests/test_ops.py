@@ -1,0 +1,200 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from focalformer3d_tpu.ops import scatter, sparse_conv, voxelize
+
+
+CFG = voxelize.VoxelConfig(
+    point_cloud_range=(0.0, 0.0, 0.0, 8.0, 8.0, 4.0),
+    voxel_size=(1.0, 1.0, 1.0),
+    max_num_points=3,
+    max_voxels=16,
+)
+
+
+class TestVoxelize:
+    def test_hard_voxelize_basic(self):
+        pts = np.array([
+            [0.5, 0.5, 0.5, 1.0],
+            [0.6, 0.4, 0.3, 2.0],   # same voxel as p0
+            [0.7, 0.2, 0.9, 3.0],   # same voxel
+            [0.1, 0.1, 0.1, 4.0],   # same voxel -> overflows cap of 3
+            [3.5, 2.5, 1.5, 5.0],   # second voxel
+            [-1.0, 0.0, 0.0, 6.0],  # out of range
+            [0.0, 0.0, 0.0, 0.0],   # padding
+        ], np.float32)
+        mask = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+        out = jax.jit(lambda p, m: voxelize.hard_voxelize(CFG, p, m))(
+            jnp.asarray(pts), jnp.asarray(mask))
+        vm = np.asarray(out["voxel_mask"])
+        assert vm.sum() == 2
+        nums = np.asarray(out["num_points"])[vm]
+        assert sorted(nums.tolist()) == [1, 3]
+        coords = np.asarray(out["coords"])[vm]
+        assert {tuple(c) for c in coords} == {(0, 0, 0), (1, 2, 3)}
+        # overflow point (4th in voxel 0) dropped
+        v = np.asarray(out["voxels"])
+        total_feat = v[..., 3].sum()
+        # kept: 3 of the first-voxel points (first three in sorted stable order:
+        # original order 0,1,2,3 -> keep 1+2+3 or subset) + 5.0
+        assert total_feat in (1 + 2 + 3 + 5, 1 + 2 + 4 + 5, 1 + 3 + 4 + 5, 2 + 3 + 4 + 5)
+
+    def test_hard_voxelize_stable_order_keeps_first_points(self):
+        pts = np.zeros((6, 4), np.float32)
+        pts[:, :3] = 0.5
+        pts[:, 3] = np.arange(6)
+        out = voxelize.hard_voxelize(CFG, jnp.asarray(pts), jnp.ones(6, bool))
+        v = np.asarray(out["voxels"])
+        vm = np.asarray(out["voxel_mask"])
+        feats = sorted(v[vm.argmax(), :, 3].tolist())
+        assert feats == [0.0, 1.0, 2.0]  # first three in original order kept
+
+    def test_dynamic_voxelize_mean(self):
+        pts = np.array([
+            [0.5, 0.5, 0.5, 2.0],
+            [0.4, 0.6, 0.7, 4.0],
+            [5.5, 5.5, 3.5, 10.0],
+        ], np.float32)
+        out = voxelize.dynamic_voxelize(CFG, jnp.asarray(pts), jnp.ones(3, bool))
+        vm = np.asarray(out["voxel_mask"])
+        assert vm.sum() == 2
+        f = np.asarray(out["features"])[vm]
+        means = sorted(f[:, 3].tolist())
+        assert means == [3.0, 10.0]
+
+
+class TestScatter:
+    def test_bev_pool_matches_manual(self):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(50, 8).astype(np.float32)
+        idx = rng.randint(0, 10, 50).astype(np.int32)
+        out = np.asarray(scatter.bev_pool(jnp.asarray(feats), jnp.asarray(idx), 10))
+        exp = np.zeros((10, 8), np.float32)
+        np.add.at(exp, idx, feats)
+        np.testing.assert_allclose(out, exp, atol=1e-5)
+
+    def test_segment_mean(self):
+        feats = jnp.asarray([[2.0], [4.0], [6.0]])
+        ids = jnp.asarray([0, 0, 1])
+        mean, cnt = scatter.segment_mean(feats, ids, 3)
+        np.testing.assert_allclose(np.asarray(mean)[:, 0], [3.0, 6.0, 0.0])
+        np.testing.assert_allclose(np.asarray(cnt), [2.0, 1.0, 0.0])
+
+
+def make_sparse_sample(rng, shape, n_active, cap, cin):
+    D, H, W = shape
+    # unique random active sites
+    flat = rng.choice(D * H * W, size=n_active, replace=False)
+    coords = np.stack([flat // (H * W), (flat // W) % H, flat % W], -1).astype(np.int32)
+    feats = rng.randn(n_active, cin).astype(np.float32)
+    # pad to capacity
+    coords_p = np.zeros((cap, 3), np.int32)
+    coords_p[:n_active] = coords
+    feats_p = np.zeros((cap, cin), np.float32)
+    feats_p[:n_active] = feats
+    valid = np.zeros(cap, bool)
+    valid[:n_active] = True
+    dense = np.zeros((D, H, W, cin), np.float32)
+    dense[coords[:, 0], coords[:, 1], coords[:, 2]] = feats
+    return coords_p, feats_p, valid, dense
+
+
+def dense_conv3d(dense, w, stride, padding):
+    # dense: (D,H,W,C); w: (K, Cin, Cout) with K lexicographic (kz,ky,kx)
+    k3 = round(len(w) ** (1 / 3)) if len(w) != 3 else None
+    return None
+
+
+class TestSparseConv:
+    def test_subm_matches_dense_conv(self):
+        rng = np.random.RandomState(0)
+        shape = (5, 9, 9)
+        cap = 64
+        coords, feats, valid, dense = make_sparse_sample(rng, shape, 30, cap, 4)
+        w = rng.randn(27, 4, 6).astype(np.float32) * 0.2
+
+        table = sparse_conv.build_table(jnp.asarray(coords), jnp.asarray(valid), shape)
+        rules = sparse_conv.build_subm_rules(table, shape, 3)
+        out = np.asarray(sparse_conv.apply_conv(
+            jnp.asarray(feats), rules, jnp.asarray(w), jnp.asarray(valid)))
+
+        # dense oracle via lax.conv (NHWC-ish 3d): use explicit loops (small).
+        D, H, W = shape
+        wk = w.reshape(3, 3, 3, 4, 6)
+        padded = np.pad(dense, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        for v in range(cap):
+            if not valid[v]:
+                assert np.allclose(out[v], 0)
+                continue
+            z, y, x = coords[v]
+            expect = np.zeros(6, np.float32)
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        expect += padded[z + dz, y + dy, x + dx] @ wk[dz, dy, dx]
+            np.testing.assert_allclose(out[v], expect, rtol=1e-4, atol=1e-4)
+
+    def test_downsample_active_set_and_values(self):
+        rng = np.random.RandomState(1)
+        shape = (4, 8, 8)
+        cap = 64
+        coords, feats, valid, dense = make_sparse_sample(rng, shape, 25, cap, 3)
+        w = rng.randn(27, 3, 5).astype(np.float32) * 0.2
+
+        out_coords, out_valid, out_shape, overflow = sparse_conv.build_downsample(
+            jnp.asarray(coords), jnp.asarray(valid), shape, 3, 2, 1, 64)
+        assert int(overflow) == 0
+        table = sparse_conv.build_table(jnp.asarray(coords), jnp.asarray(valid), shape)
+        rules = sparse_conv.build_conv_rules(
+            table, shape, out_coords, out_valid, 3, 2, 1)
+        out = np.asarray(sparse_conv.apply_conv(
+            jnp.asarray(feats), rules, jnp.asarray(w), out_valid))
+
+        # dense strided conv oracle
+        Do, Ho, Wo = out_shape
+        assert (Do, Ho, Wo) == (2, 4, 4)
+        wk = w.reshape(3, 3, 3, 3, 5)
+        padded = np.pad(dense, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        occ = np.zeros(shape, bool)
+        occ[coords[valid][:, 0], coords[valid][:, 1], coords[valid][:, 2]] = True
+        occ_p = np.pad(occ, 1)
+
+        oc = np.asarray(out_coords)[np.asarray(out_valid)]
+        got_sites = {tuple(c) for c in oc}
+        exp_sites = set()
+        for z in range(Do):
+            for y in range(Ho):
+                for x in range(Wo):
+                    window = occ_p[2*z:2*z+3, 2*y:2*y+3, 2*x:2*x+3]
+                    if window.any():
+                        exp_sites.add((z, y, x))
+        assert got_sites == exp_sites
+
+        ov = np.asarray(out_valid)
+        for v in range(64):
+            if not ov[v]:
+                continue
+            z, y, x = np.asarray(out_coords)[v]
+            expect = np.einsum(
+                "zyxc,zyxco->o",
+                padded[2*z:2*z+3, 2*y:2*y+3, 2*x:2*x+3], wk)
+            np.testing.assert_allclose(out[v], expect, rtol=1e-4, atol=1e-4)
+
+    def test_zcollapse_conv_shape(self):
+        # the SparseEncoder conv_out: kernel (3,1,1) stride (2,1,1) pad 0
+        rng = np.random.RandomState(2)
+        shape = (5, 6, 6)
+        cap = 64
+        coords, feats, valid, dense = make_sparse_sample(rng, shape, 20, cap, 3)
+        out_coords, out_valid, out_shape, _ = sparse_conv.build_downsample(
+            jnp.asarray(coords), jnp.asarray(valid), shape, (3, 1, 1), (2, 1, 1), 0, 64)
+        assert out_shape == (2, 6, 6)
+
+    def test_to_dense_roundtrip(self):
+        rng = np.random.RandomState(3)
+        shape = (3, 4, 4)
+        coords, feats, valid, dense = make_sparse_sample(rng, shape, 10, 32, 2)
+        got = np.asarray(sparse_conv.to_dense(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid), shape))
+        np.testing.assert_allclose(got, dense, atol=1e-6)
