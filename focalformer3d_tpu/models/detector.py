@@ -1,0 +1,164 @@
+"""FocalFormer3D detector: end-to-end LiDAR (and LiDAR+camera) model.
+
+Counterpart of the reference top-level detector
+(/root/reference/projects/mmdet3d_plugin/models/detectors/focalformer3d.py):
+voxelization -> VFE -> sparse middle encoder -> SECOND/FPN BEV backbone ->
+FocalEncoder fusion neck -> FocalDecoder head.  Voxelization is a pure
+preprocessing function (no params) so the whole forward is one jitted
+program; the camera branch plugs in via ``img_bev`` (see models/lss.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import voxelize as vox
+from . import focal_decoder as fd
+from .focal_decoder import FocalDecoder, FocalDecoderConfig
+from .focal_encoder import FocalEncoder
+from .second import SECOND, SECONDFPN
+from .sparse_encoder import SparseEncoder
+from .vfe import hard_simple_vfe, HardVFE
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    voxel: vox.VoxelConfig = dataclasses.field(
+        default_factory=lambda: vox.VoxelConfig(
+            point_cloud_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+            voxel_size=(0.075, 0.075, 0.2),
+            max_num_points=10,
+            max_voxels=120000,
+        )
+    )
+    vfe_type: str = "HardSimpleVFE"  # or "HardVFE", "DynamicSimpleVFE"
+    vfe_channels: Tuple[int, ...] = (64,)
+    sparse_shape: Tuple[int, int, int] = (41, 1440, 1440)
+    sparse_out_channels: int = 128
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128)
+    )
+    down_paddings: Tuple[Tuple[int, int, int], ...] = (
+        (1, 1, 1), (1, 1, 1), (0, 1, 1)
+    )
+    capacities: Tuple[int, ...] = (120000, 90000, 60000, 40000)
+    out_capacity: int = 40000
+    second_channels: Tuple[int, ...] = (128, 256)
+    second_layers: Tuple[int, ...] = (5, 5)
+    fpn_channels: Tuple[int, ...] = (256, 256)
+    neck_layers: int = 1
+    hidden: int = 128
+    iterbev: str = "bevfusionmb2"
+    extra_feat: bool = True
+    input_img: bool = False
+    decoder: FocalDecoderConfig = dataclasses.field(
+        default_factory=FocalDecoderConfig
+    )
+
+    @property
+    def point_dim(self) -> int:
+        return 5
+
+
+def preprocess_points(cfg: DetectorConfig, points: jax.Array,
+                      mask: jax.Array) -> Dict[str, jax.Array]:
+    """Batched voxelization (pure, no params). points (B, N, D), mask (B, N)."""
+    if cfg.vfe_type == "DynamicSimpleVFE":
+        out = jax.vmap(lambda p, m: vox.dynamic_voxelize(cfg.voxel, p, m))(
+            points, mask
+        )
+        return {
+            "features": out["features"],
+            "coords": out["coords"],
+            "voxel_mask": out["voxel_mask"],
+        }
+    out = jax.vmap(lambda p, m: vox.hard_voxelize(cfg.voxel, p, m))(
+        points, mask
+    )
+    return out
+
+
+class FocalFormer3D(nn.Module):
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        voxel_data: Dict[str, jax.Array],
+        img_bev: Optional[jax.Array] = None,
+        train: bool = False,
+        gt_boxes: Optional[jax.Array] = None,
+        gt_labels: Optional[jax.Array] = None,
+        gt_valid: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        cfg = self.cfg
+
+        # ---- VFE ----
+        if cfg.vfe_type == "HardSimpleVFE":
+            feats = hard_simple_vfe(
+                voxel_data["voxels"], voxel_data["num_points"]
+            )
+            valid = voxel_data["voxel_mask"]
+        elif cfg.vfe_type == "HardVFE":
+            feats = HardVFE(
+                feat_channels=cfg.vfe_channels,
+                voxel_size=cfg.voxel.voxel_size,
+                point_cloud_range=cfg.voxel.point_cloud_range,
+                name="vfe",
+            )(
+                voxel_data["voxels"], voxel_data["num_points"],
+                voxel_data["coords"], train,
+            )
+            valid = voxel_data["voxel_mask"]
+        elif cfg.vfe_type == "DynamicSimpleVFE":
+            feats = voxel_data["features"]
+            valid = voxel_data["voxel_mask"]
+        else:  # pragma: no cover
+            raise ValueError(cfg.vfe_type)
+
+        # ---- sparse middle encoder -> dense BEV ----
+        bev = SparseEncoder(
+            sparse_shape=cfg.sparse_shape,
+            output_channels=cfg.sparse_out_channels,
+            encoder_channels=cfg.encoder_channels,
+            down_paddings=cfg.down_paddings,
+            capacities=cfg.capacities,
+            out_capacity=cfg.out_capacity,
+            name="pts_middle_encoder",
+        )(feats, voxel_data["coords"], valid, train)
+
+        # ---- SECOND + FPN ----
+        sec = SECOND(
+            out_channels=cfg.second_channels,
+            layer_nums=cfg.second_layers,
+            name="pts_backbone",
+        )(bev, train)
+        fpn = SECONDFPN(
+            out_channels=cfg.fpn_channels, name="pts_neck"
+        )(sec, train)
+
+        # ---- fusion neck ----
+        pts_feat_conv, stage_feats = FocalEncoder(
+            num_layers=cfg.neck_layers,
+            hidden=cfg.hidden,
+            iterbev=cfg.iterbev,
+            iterbev_wo_img=not cfg.input_img,
+            multistage_heatmap=cfg.decoder.multistage_heatmap,
+            extra_feat=cfg.extra_feat,
+            input_img=cfg.input_img,
+            name="imgpts_neck",
+        )(img_bev, fpn, train)
+
+        # ---- head ----
+        out = FocalDecoder(cfg.decoder, name="pts_bbox_head")(
+            pts_feat_conv, stage_feats, train,
+            gt_boxes, gt_labels, gt_valid,
+        )
+        return out
+
+    def get_bboxes(self, out: Dict[str, jax.Array], max_out: int = 200):
+        return fd.get_bboxes(self.cfg.decoder, out, max_out)

@@ -1,0 +1,493 @@
+"""FocalDecoder head: Hard Instance Probing + box-level deformable decoder.
+
+TPU-native re-design of the reference head
+(/root/reference/projects/mmdet3d_plugin/models/dense_heads/focal_decoder.py):
+
+* multi-stage BEV heatmap generation with max-pool peak NMS and per-class
+  kernel overrides (small classes keep kernel 1);
+* top-k query initialization with class embeddings, and accumulative
+  false-negative masking between stages ('poscls' mode);
+* optional noised-GT denoising query groups (training) with attention
+  isolation masks;
+* a 3-level BEV pyramid, RoI grid-point pooling, and N rounds of a
+  deformable-DETR decoder with FFN prediction heads.
+
+Everything is fixed shape: GTs are padded to ``max_gts``; per-stage
+proposals, pyramid sizes, and query counts are static. Dynamic-shape
+constructs of the reference (boolean filtering, per-sample loops) become
+masks + top_k + gathers, so the whole head jits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import box_coder as bc
+from ..core import boxes as box_utils
+from .deformable_decoder import DeformableDecoder
+from .layers import ConvBN, MLP, PredictionFFN, sine_embed_2d
+from ..ops.bilinear import grid_sample_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class FocalDecoderConfig:
+    num_classes: int = 10
+    hidden: int = 128
+    hidden_roi: int = 512
+    num_proposals: int = 300
+    num_decoder_layers: int = 2  # decoder ROUNDS (outer)
+    inner_layers: int = 3  # deformable layers per round
+    num_heads: int = 8
+    nms_kernel_size: int = 3
+    multistage_heatmap: int = 1
+    reuse_first_heatmap: bool = True
+    extra_feat: bool = True
+    multiscale: bool = True
+    bevpos: bool = True
+    roi_feats: int = 7
+    roi_dropout: float = 0.1
+    roi_based_reg: bool = True
+    roi_expand_ratio: float = 1.2
+    classaware_reg: bool = False
+    add_gt_groups: int = 3
+    add_gt_pos_thresh: float = 5.0
+    add_gt_pos_boxnoise_thresh: float = 0.75
+    gt_center_limit: float = 5.0
+    max_gts: int = 200  # static denoising-group pad
+    kernel1_classes: Tuple[int, ...] = (8, 9)  # nuScenes ped/cone
+    code_size: int = 10
+    pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    voxel_size: Tuple[float, ...] = (0.075, 0.075, 0.2)
+    out_size_factor: int = 8
+    post_center_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0
+    )
+    score_threshold: float = 0.0
+
+    @property
+    def total_stages(self) -> int:
+        return self.multistage_heatmap + int(self.reuse_first_heatmap)
+
+    @property
+    def with_vel(self) -> bool:
+        return self.code_size == 10
+
+    @property
+    def coder(self) -> bc.BBoxCoderConfig:
+        return bc.BBoxCoderConfig(
+            pc_range=self.pc_range[:2],
+            voxel_size=self.voxel_size[:2],
+            out_size_factor=self.out_size_factor,
+            post_center_range=self.post_center_range,
+            score_threshold=self.score_threshold,
+            code_size=self.code_size,
+        )
+
+
+def _bev_pos(H: int, W: int, scale: float = 1.0) -> jax.Array:
+    """(H*W, 2) grid-center coordinates (x, y); p = y*W + x."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    return (
+        jnp.stack([xs + 0.5, ys + 0.5], axis=-1).reshape(H * W, 2) * scale
+    )
+
+
+def _peak_suppress(heat: jax.Array, k: int, kernel1: Sequence[int]):
+    """heat (B, H, W, C): zero out non-local-max pixels (TransFusion peak
+    NMS). Border pixels are suppressed for k>1 classes (exact reference
+    semantics: the inner VALID max-pool leaves borders at 0)."""
+    pad = k // 2
+    inner = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "VALID"
+    )
+    local_max = jnp.full_like(heat, 0.0)
+    local_max = local_max.at[:, pad:-pad, pad:-pad, :].set(inner)
+    if kernel1:
+        idx = jnp.asarray(kernel1)
+        local_max = local_max.at[..., idx].set(heat[..., idx])
+    return heat * (heat == local_max)
+
+
+def _dilate_mask(mask: jax.Array, k: int, kernel1: Sequence[int]):
+    """mask (B, H, W, C) in {0,1}: max-pool dilation with SAME padding and
+    per-class kernel-1 overrides (reference mask pooling)."""
+    pad = k // 2
+    dil = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+    if kernel1:
+        idx = jnp.asarray(kernel1)
+        dil = dil.at[..., idx].set(mask[..., idx])
+    return dil
+
+
+class _HeatmapHead(nn.Module):
+    num_classes: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.hidden, 3, use_bias=True)(x, train)
+        return nn.Conv(self.num_classes, (3, 3), use_bias=True)(x)
+
+
+class FocalDecoder(nn.Module):
+    cfg: FocalDecoderConfig
+
+    def _grid_points(self, boxes_std: jax.Array, expand: float) -> jax.Array:
+        """RoI grid points: (..., R*R, 2) world xy inside each box
+        (focal_decoder.py:890-922 + get_dense_grid_points)."""
+        R = self.cfg.roi_feats
+        ii = jax.lax.broadcasted_iota(jnp.float32, (R, R), 0)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (R, R), 1)
+        base = jnp.stack([ii, jj], -1).reshape(R * R, 2)  # (RR, 2)
+        dims = boxes_std[..., 3:5] * expand  # (..., 2)
+        local = (base + 0.5) / R * dims[..., None, :] - dims[..., None, :] / 2
+        yaw = boxes_std[..., 6]
+        pts = box_utils.rotate_points_z(local, yaw)
+        return pts + boxes_std[..., None, :2]
+
+    @nn.compact
+    def __call__(
+        self,
+        lidar_feat: jax.Array,  # (B, H, W, C) pts_feat_conv
+        stage_feats: List[jax.Array],  # per-stage BEV maps (+extra at end)
+        train: bool = False,
+        gt_boxes: Optional[jax.Array] = None,  # (B, G, code-ish world boxes)
+        gt_labels: Optional[jax.Array] = None,  # (B, G)
+        gt_valid: Optional[jax.Array] = None,  # (B, G)
+    ) -> Dict[str, jax.Array]:
+        cfg = self.cfg
+        B, H, W, C = lidar_feat.shape
+        ncls = cfg.num_classes
+        S = cfg.total_stages
+        P = cfg.num_proposals
+        HW = H * W
+
+        stage_feats = list(stage_feats)
+        extra = stage_feats.pop(-1) if cfg.extra_feat else None
+        if cfg.reuse_first_heatmap:
+            stage_feats = [lidar_feat] + stage_feats
+        assert len(stage_feats) == S, (len(stage_feats), S)
+
+        bev_pos = _bev_pos(H, W)  # (HW, 2)
+
+        heatmap_head = _HeatmapHead(ncls, cfg.hidden, name="heatmap_head")
+        dense_heatmap = heatmap_head(lidar_feat, train)  # (B,H,W,ncls)
+
+        class_enc = nn.Dense(cfg.hidden, name="class_encoding")
+
+        acc_mask = jnp.ones((B, H, W, ncls), lidar_feat.dtype)
+        q_feats, q_pos, q_score, q_labels = [], [], [], []
+        heatmap_train, multistage_masks = [], []
+        last_heat = None
+        for i in range(S):
+            if i == 0 and cfg.reuse_first_heatmap:
+                dh = dense_heatmap
+            else:
+                dh = _HeatmapHead(
+                    ncls, cfg.hidden, name=f"heatmap_head_img{i}"
+                )(stage_feats[i], train)
+                if i == 0:
+                    heatmap_train.append(dense_heatmap)
+                    multistage_masks.append(acc_mask)
+            heat = jax.nn.sigmoid(jax.lax.stop_gradient(dh))
+            heatmap_train.append(dh)
+            multistage_masks.append(acc_mask)
+            heat = heat * acc_mask
+            last_heat = heat
+
+            peaks = _peak_suppress(
+                heat, cfg.nms_kernel_size, cfg.kernel1_classes
+            )
+            # flatten as (B, ncls * HW): idx -> (cls, p)
+            flat = jnp.transpose(peaks, (0, 3, 1, 2)).reshape(B, ncls * HW)
+            top_v, top_i = jax.lax.top_k(flat, P)
+            top_cls = (top_i // HW).astype(jnp.int32)
+            top_p = (top_i % HW).astype(jnp.int32)
+
+            feat_flat = stage_feats[i].reshape(B, HW, C)
+            qf = jnp.take_along_axis(feat_flat, top_p[..., None], axis=1)
+            one_hot = jax.nn.one_hot(top_cls, ncls, dtype=qf.dtype)
+            qf = qf + class_enc(one_hot)
+            qp = bev_pos[top_p]  # (B, P, 2)
+            heat_flat = heat.reshape(B, HW, ncls)
+            qs = jnp.take_along_axis(
+                heat_flat, top_p[..., None], axis=1
+            )  # (B, P, ncls)
+
+            q_feats.append(qf)
+            q_pos.append(qp)
+            q_score.append(qs)
+            q_labels.append(top_cls)
+
+            # 'poscls' accumulative masking
+            sel = jnp.zeros((B, ncls * HW), lidar_feat.dtype)
+            sel = jax.vmap(
+                lambda s, idx: s.at[idx].set(1.0)
+            )(sel, top_i)
+            sel = sel.reshape(B, ncls, H, W).transpose(0, 2, 3, 1)
+            acc_mask = acc_mask * (
+                1.0 - _dilate_mask(sel, cfg.nms_kernel_size,
+                                   cfg.kernel1_classes)
+            )
+
+        query_feat = jnp.concatenate(q_feats, axis=1)  # (B, S*P, C)
+        query_pos = jnp.concatenate(q_pos, axis=1)
+        query_score = jnp.concatenate(q_score, axis=1)
+        query_labels = jnp.concatenate(q_labels, axis=1)
+        num_prop = S * P
+
+        # ---------------- denoising GT query groups (training) -------------
+        gt_group_info = None
+        if train and cfg.add_gt_groups > 0 and gt_boxes is not None:
+            G = gt_boxes.shape[1]
+            NG = cfg.add_gt_groups
+            rng = self.make_rng("gt")
+            noise = jax.random.uniform(
+                rng, (B, NG * G, 2), minval=-1.0, maxval=1.0
+            )
+            gb = jnp.tile(gt_boxes, (1, NG, 1))  # (B, NG*G, code)
+            gl = jnp.tile(gt_labels, (1, NG))
+            gvalid = jnp.tile(gt_valid, (1, NG))
+
+            yaw = gb[..., 6]
+            cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+            wvec = jnp.stack([cy * gb[..., 3], sy * gb[..., 3]], -1)
+            hvec = jnp.stack([-sy * gb[..., 4], cy * gb[..., 4]], -1)
+            center_noise = (
+                wvec / 2 * noise[..., 0:1] + hvec / 2 * noise[..., 1:2]
+            )
+            centers = gb[..., :2] + center_noise
+            positive = (
+                jnp.linalg.norm(center_noise, axis=-1) < cfg.add_gt_pos_thresh
+            ) & (
+                jnp.linalg.norm(noise, axis=-1)
+                < cfg.add_gt_pos_boxnoise_thresh
+            )
+            noisy_labels = jnp.where(
+                positive & gvalid, gl, ncls
+            )  # background class = ncls
+
+            pcr = jnp.asarray(cfg.pc_range)
+            cx = jnp.clip(centers[..., 0], pcr[0] + 1e-6, pcr[3] - 1e-5)
+            cyy = jnp.clip(centers[..., 1], pcr[1] + 1e-6, pcr[4] - 1e-5)
+            gx = jnp.clip(
+                ((cx - pcr[0]) / (pcr[3] - pcr[0]) * W).astype(jnp.int32),
+                0, W - 1,
+            )
+            gy = jnp.clip(
+                ((cyy - pcr[1]) / (pcr[4] - pcr[1]) * H).astype(jnp.int32),
+                0, H - 1,
+            )
+            p = gy * W + gx  # (B, NG*G)
+
+            feat_flat = stage_feats[-1].reshape(B, HW, C)
+            gqf = jnp.take_along_axis(feat_flat, p[..., None], axis=1)
+            heat_flat = last_heat.reshape(B, HW, ncls)
+            gqs = jnp.take_along_axis(heat_flat, p[..., None], axis=1)
+            one_hot = jax.nn.one_hot(noisy_labels, ncls + 1)[..., :ncls]
+            gqf = gqf + class_enc(one_hot.astype(gqf.dtype))
+            gqp = bev_pos[p]
+
+            vmaskf = gvalid[..., None].astype(gqf.dtype)
+            query_feat = jnp.concatenate([query_feat, gqf * vmaskf], axis=1)
+            query_pos = jnp.concatenate([query_pos, gqp * vmaskf], axis=1)
+            query_score = jnp.concatenate([query_score, gqs * vmaskf], axis=1)
+            query_labels = jnp.concatenate(
+                [query_labels, noisy_labels], axis=1
+            )
+            gt_group_info = {
+                "valid": gvalid,  # (B, NG*G)
+                "labels": noisy_labels,
+            }
+
+        Qn = query_feat.shape[1]
+
+        # ---------------- multiscale pyramid -------------------------------
+        pyramid_src = extra if cfg.extra_feat else stage_feats[-1]
+        levels = [pyramid_src]
+        if cfg.multiscale:
+            levels.append(
+                ConvBN(cfg.hidden, 3, strides=2, use_bias=True,
+                       name="dconv")(levels[-1], train)
+            )
+            levels.append(
+                ConvBN(cfg.hidden, 3, strides=2, use_bias=True,
+                       name="dconv2")(levels[-1], train)
+            )
+        level_pos = [_bev_pos(H, W)]
+        if cfg.multiscale:
+            level_pos.append(_bev_pos(H // 2, W // 2, 2.0))
+            level_pos.append(_bev_pos(H // 4, W // 4, 4.0))
+
+        # attention mask for gt groups
+        attn_mask = None
+        if gt_group_info is not None:
+            blocked = jnp.ones((B, Qn, Qn), bool)
+            blocked = blocked.at[:, :, :num_prop].set(False)
+            gv = gt_group_info["valid"]
+            blocked = blocked.at[:, num_prop:, num_prop:].set(
+                ~(gv[:, :, None] & gv[:, None, :])
+            )
+            attn_mask = blocked
+
+        norm_wh = jnp.asarray([W, H], jnp.float32)
+
+        rounds_out: List[Dict[str, jax.Array]] = []
+        query_box = None
+        for r in range(cfg.num_decoder_layers):
+            ref = query_pos / norm_wh  # (B, Qn, 2) in [0,1]
+            sine = sine_embed_2d(ref)
+            pos_embed = MLP(cfg.hidden, cfg.hidden, 2, name=f"pos_embed{r}")
+            qpe = pos_embed(sine)
+
+            if cfg.bevpos:
+                # shared pos MLP embeds both query and BEV value positions
+                # (reference pos_embed_learned[i], focal_decoder.py:871-886)
+                vals = []
+                for v, lp in zip(levels, level_pos):
+                    bpe = pos_embed(sine_embed_2d(lp / norm_wh))
+                    vals.append(
+                        v + bpe.reshape(1, v.shape[1], v.shape[2], cfg.hidden)
+                    )
+            else:
+                vals = levels
+
+            if cfg.roi_feats and query_box is not None:
+                qb = query_box  # (B, Qn, code) in coder space, detached
+                std = bc.decode_box(
+                    cfg.coder, qb[..., :2], qb[..., 2:3], qb[..., 3:6],
+                    qb[..., 6:8],
+                    qb[..., 8:10] if cfg.with_vel else None,
+                )
+                gp = self._grid_points(std, cfg.roi_expand_ratio)  # world xy
+                pcr = jnp.asarray(cfg.pc_range)
+                gn = (gp - pcr[:2]) / (pcr[3:5] - pcr[:2]) * 2.0 - 1.0
+                gn = jnp.clip(gn, -2.0, 2.0)
+                rois = []
+                for v in levels:
+                    rois.append(
+                        jax.vmap(grid_sample_norm)(v, gn)
+                    )  # (B, Qn, RR, C)
+                roi = jnp.concatenate(rois, axis=-1)
+                roi = roi.reshape(B, Qn, -1)
+                y = roi
+                # roi_mlp is shared across rounds (reference self.roi_mlp)
+                for li in range(3):
+                    ch = cfg.hidden_roi if li < 2 else cfg.hidden
+                    y = nn.Dense(ch, use_bias=False,
+                                 name=f"roi_mlp_{li}")(y)
+                    y = nn.BatchNorm(
+                        use_running_average=not train,
+                        name=f"roi_bn_{li}",
+                    )(y)
+                    y = nn.relu(y)
+                    y = nn.Dropout(cfg.roi_dropout,
+                                   deterministic=not train)(y)
+                query_feat = query_feat + y
+
+            query_feat = DeformableDecoder(
+                num_layers=cfg.inner_layers,
+                embed_dim=cfg.hidden,
+                num_heads=cfg.num_heads,
+                num_levels=len(levels),
+                num_points=4,
+                name=f"decoder{r}",
+            )(query_feat, vals, ref, qpe, attn_mask, train)
+
+            heads = {
+                "center": (2, 2), "height": (1, 2), "dim": (3, 2),
+                "rot": (2, 2),
+            }
+            if cfg.with_vel:
+                heads["vel"] = (2, 2)
+            if cfg.classaware_reg:
+                heads = {k: (v[0] * ncls, v[1]) for k, v in heads.items()}
+            heads["heatmap"] = (ncls, 2)
+            res = PredictionFFN(heads, name=f"pred{r}")(query_feat, train)
+            if cfg.classaware_reg:
+                lab = jnp.clip(query_labels, 0, ncls - 1)
+                for k in ("center", "height", "dim", "rot", "vel"):
+                    if k in res:
+                        d = res[k].shape[-1] // ncls
+                        rr = res[k].reshape(B, Qn, ncls, d)
+                        res[k] = jnp.take_along_axis(
+                            rr, lab[..., None, None].repeat(d, -1), axis=2
+                        )[:, :, 0]
+            res["center"] = res["center"] + query_pos
+            query_pos = jax.lax.stop_gradient(res["center"])
+            if cfg.roi_based_reg and query_box is not None:
+                res["dim"] = res["dim"].at[..., :2].add(
+                    jax.lax.stop_gradient(query_box[..., 3:5])
+                )
+                res["rot"] = res["rot"] + jax.lax.stop_gradient(
+                    query_box[..., 6:8]
+                )
+            qb_parts = [res["center"], res["height"], res["dim"], res["rot"]]
+            if cfg.with_vel:
+                qb_parts.append(res["vel"])
+            query_box = jax.lax.stop_gradient(
+                jnp.concatenate(qb_parts, axis=-1)
+            )
+            rounds_out.append(res)
+
+        out = {
+            k: jnp.stack([r[k] for r in rounds_out], axis=1)
+            for k in rounds_out[0]
+        }  # each (B, R, Qn, d)
+        out["query_labels"] = query_labels  # (B, Qn)
+        out["query_heatmap_score"] = query_score  # (B, Qn, ncls)
+        out["dense_heatmap"] = jnp.stack(heatmap_train, axis=1)
+        out["multistage_masks"] = jnp.stack(multistage_masks, axis=1)
+        out["num_prop"] = num_prop
+        if gt_group_info is not None:
+            out["gt_valid_mask"] = gt_group_info["valid"]
+            out["gt_query_labels"] = gt_group_info["labels"]
+        return out
+
+    def get_bboxes(self, out: Dict[str, jax.Array], max_out: int = 200):
+        return get_bboxes(self.cfg, out, max_out)
+
+
+def get_bboxes(cfg: FocalDecoderConfig, out: Dict[str, jax.Array],
+               max_out: int = 200):
+    """Decode final-round predictions into fixed-size box lists.
+
+    Returns dict bboxes (B, Q, code7|9), scores (B, Q), labels (B, Q),
+    mask (B, Q) with at most ``max_out`` True entries per sample.
+    Mirrors reference get_bboxes (focal_decoder.py:1313-1413) with masks
+    instead of boolean filtering; the nuScenes default runs no NMS
+    (nms_type=None) and caps at 200 boxes by score.
+    """
+    num_prop = out["num_prop"]
+    sl = lambda x: x[:, -1, :num_prop]  # last round, real queries
+    heat = jax.nn.sigmoid(sl(out["heatmap"]))
+    one_hot = jax.nn.one_hot(
+        out["query_labels"][:, :num_prop], cfg.num_classes
+    )
+    score = heat * out["query_heatmap_score"][:, :num_prop] * one_hot
+    dec = bc.decode(
+        cfg.coder,
+        score,
+        sl(out["center"]),
+        sl(out["height"]),
+        sl(out["dim"]),
+        sl(out["rot"]),
+        sl(out["vel"]) if cfg.with_vel else None,
+        apply_filter=True,
+    )
+    # cap at max_out by score (fixed shapes: mask only)
+    from ..core.nms import top_k_mask
+
+    keep = jax.vmap(lambda s, v: top_k_mask(s, v, max_out))(
+        dec["scores"], dec["mask"]
+    )
+    dec["mask"] = keep
+    return dec

@@ -158,10 +158,16 @@ def apply_conv(
 
 def conv_out_shape(in_shape, kernel_size, stride, padding):
     k, s, p = _as_triple(kernel_size), _as_triple(stride), _as_triple(padding)
-    return tuple(
+    out = tuple(
         (d + 2 * pi - ki) // si + 1
         for d, ki, si, pi in zip(in_shape, k, s, p)
     )
+    if any(d <= 0 for d in out):  # pragma: no cover - config error
+        raise ValueError(
+            f"sparse conv output shape {out} non-positive for input "
+            f"{tuple(in_shape)} kernel {k} stride {s} padding {p}"
+        )
+    return out
 
 
 def build_downsample(

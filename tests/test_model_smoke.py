@@ -1,0 +1,139 @@
+"""End-to-end smoke tests for the detector on tiny shapes (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from focalformer3d_tpu.models.detector import (
+    DetectorConfig, FocalFormer3D, preprocess_points,
+)
+from focalformer3d_tpu.models.focal_decoder import FocalDecoderConfig
+from focalformer3d_tpu.ops.voxelize import VoxelConfig
+
+PC_RANGE = (-8.0, -8.0, -3.0, 8.0, 8.0, 3.0)
+
+
+def tiny_config():
+    # grid 64x64x25 -> BEV 8x8 after 8x downsample
+    # (z chain must survive 3 stride-2 stages + z-collapse: 25->13->7->3->1)
+    return DetectorConfig(
+        voxel=VoxelConfig(
+            point_cloud_range=PC_RANGE,
+            voxel_size=(0.25, 0.25, 0.24),
+            max_num_points=5,
+            max_voxels=512,
+        ),
+        sparse_shape=(25, 64, 64),
+        sparse_out_channels=32,
+        encoder_channels=((8, 8, 16), (16, 16, 24), (24, 24, 32), (32, 32)),
+        down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
+        capacities=(512, 384, 256, 192),
+        out_capacity=192,
+        second_channels=(32, 48),
+        second_layers=(2, 2),
+        fpn_channels=(48, 48),
+        hidden=32,
+        decoder=FocalDecoderConfig(
+            num_classes=4,
+            hidden=32,
+            hidden_roi=64,
+            num_proposals=16,
+            num_decoder_layers=2,
+            inner_layers=1,
+            num_heads=4,
+            multistage_heatmap=1,
+            reuse_first_heatmap=True,
+            multiscale=True,
+            roi_feats=3,
+            add_gt_groups=2,
+            max_gts=6,
+            kernel1_classes=(2, 3),
+            pc_range=PC_RANGE,
+            voxel_size=(0.25, 0.25, 0.75),
+            out_size_factor=8,
+            post_center_range=(-10, -10, -5, 10, 10, 5),
+        ),
+    )
+
+
+def synth_batch(rng, B=2, N=1024, G=6):
+    pts = rng.uniform(-7.5, 7.5, (B, N, 5)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2.5, 2.5, (B, N))
+    mask = np.ones((B, N), bool)
+    mask[:, -50:] = False
+    gt = np.zeros((B, G, 9), np.float32)
+    gt[..., :2] = rng.uniform(-6, 6, (B, G, 2))
+    gt[..., 2] = -1.0
+    gt[..., 3:6] = rng.uniform(0.5, 3.0, (B, G, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (B, G))
+    labels = rng.randint(0, 4, (B, G)).astype(np.int32)
+    valid = np.ones((B, G), bool)
+    valid[:, -2:] = False
+    return (jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(gt),
+            jnp.asarray(labels), jnp.asarray(valid))
+
+
+class TestDetectorSmoke:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        model = FocalFormer3D(cfg)
+        rng = np.random.RandomState(0)
+        pts, mask, gt, labels, valid = synth_batch(rng)
+        vox = preprocess_points(cfg, pts, mask)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "gt": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            vox, None, True, gt, labels, valid,
+        )
+        return cfg, model, variables, vox, (gt, labels, valid)
+
+    def test_train_forward_shapes(self, setup):
+        cfg, model, variables, vox, (gt, labels, valid) = setup
+        out, new_vars = model.apply(
+            variables, vox, None, True, gt, labels, valid,
+            rngs={"gt": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        S, P = 2, 16
+        G, NG = 6, 2
+        Qn = S * P + G * NG
+        B = 2
+        assert out["center"].shape == (B, 2, Qn, 2)
+        assert out["heatmap"].shape == (B, 2, Qn, 4)
+        assert out["vel"].shape == (B, 2, Qn, 2)
+        assert out["dense_heatmap"].shape == (B, 2, 8, 8, 4)
+        assert out["multistage_masks"].shape == (B, 2, 8, 8, 4)
+        assert out["query_labels"].shape == (B, Qn)
+        assert not np.any(np.isnan(np.asarray(out["center"])))
+
+    def test_eval_forward_and_decode(self, setup):
+        cfg, model, variables, vox, _ = setup
+        out = model.apply(variables, vox, None, False)
+        Qn = 32
+        assert out["center"].shape == (2, 2, Qn, 2)
+        dec = FocalFormer3D(cfg).get_bboxes(out, max_out=10)
+        assert dec["bboxes"].shape == (2, Qn, 9)
+        assert dec["mask"].sum(axis=1).max() <= 10
+        assert not np.any(np.isnan(np.asarray(dec["bboxes"])))
+
+    def test_jit_eval(self, setup):
+        cfg, model, variables, vox, _ = setup
+
+        @jax.jit
+        def f(v, vd):
+            return model.apply(v, vd, None, False)
+
+        out = f(variables, vox)
+        assert out["center"].shape[0] == 2
+
+    def test_masking_reduces_second_stage_overlap(self, setup):
+        """HIP property: stage-2 queries should avoid stage-1 peaks."""
+        cfg, model, variables, vox, _ = setup
+        out = model.apply(variables, vox, None, False)
+        labels = np.asarray(out["query_labels"])
+        # positions gathered per stage: stage splits at P=16
+        # (can't access positions directly; check masks actually zeroed)
+        masks = np.asarray(out["multistage_masks"])
+        assert masks[:, 0].min() == 1.0  # first stage: nothing masked
+        assert masks[:, 1].min() == 0.0  # second stage: something masked
