@@ -1,0 +1,77 @@
+"""Benchmark: FocalFormer3D-L single-scan inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no FPS numbers
+(/root/reference/tools/analysis_tools/benchmark.py exists but no committed
+results); public measurements of TransFusion-class LiDAR detectors on A100
+are ~8 scans/s.  The driver target is >=2x A100 per-scan throughput
+(BASELINE.md), so vs_baseline = scans_per_sec / 16.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from focalformer3d_tpu.configs import get_config
+    from focalformer3d_tpu.data import synthetic
+    from focalformer3d_tpu.models.detector import (
+        FocalFormer3D, preprocess_points,
+    )
+    from focalformer3d_tpu.models import focal_decoder as fd
+
+    cfg = get_config("FocalFormer3D_L")["model"]
+    model = FocalFormer3D(cfg)
+
+    rng = np.random.RandomState(0)
+    n_points = 200000  # ~10-sweep nuScenes scan
+    batch = synthetic.make_batch(
+        rng, batch_size=1, n_points=n_points, n_boxes=24, max_gts=32,
+        num_classes=cfg.decoder.num_classes,
+        pc_range=cfg.voxel.point_cloud_range,
+    )
+    points = jnp.asarray(batch["points"])
+    mask = jnp.asarray(batch["points_mask"])
+
+    vox0 = preprocess_points(cfg, points, mask)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, vox0, None,
+                           False)
+
+    @jax.jit
+    def infer(variables, points, mask):
+        vox = preprocess_points(cfg, points, mask)
+        out = model.apply(variables, vox, None, False)
+        return fd.get_bboxes(cfg.decoder, out, 200)
+
+    # warmup / compile
+    res = infer(variables, points, mask)
+    jax.block_until_ready(res)
+
+    lat = []
+    iters = 30
+    for i in range(iters):
+        t0 = time.perf_counter()
+        res = infer(variables, points, mask)
+        jax.block_until_ready(res)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    scans_per_sec = 1.0 / p50
+
+    print(json.dumps({
+        "metric": "nuScenes-L single-scan inference throughput (1 chip)",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/sec",
+        "vs_baseline": round(scans_per_sec / 16.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

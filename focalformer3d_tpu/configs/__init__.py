@@ -1,0 +1,27 @@
+"""Config registry: named model/loss/train configurations.
+
+Mirrors the reference's 13 shipped configs
+(/root/reference/projects/configs/focalformer3d/) as structured dataclasses.
+Use ``get_config(name)``; names match the reference file stems.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Any, Dict
+
+_REGISTRY = {
+    "FocalFormer3D_L": "focalformer3d_l",
+    "DeformFormer3D_L": "deformformer3d_l",
+    "FocalFormer3D_Waymo_L": "focalformer3d_waymo_l",
+}
+
+
+def get_config(name: str):
+    mod = importlib.import_module(
+        f"focalformer3d_tpu.configs.{_REGISTRY[name]}"
+    )
+    return mod.get_config()
+
+
+def available() -> list:
+    return sorted(_REGISTRY)

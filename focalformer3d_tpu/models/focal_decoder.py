@@ -446,7 +446,6 @@ class FocalDecoder(nn.Module):
         out["query_heatmap_score"] = query_score  # (B, Qn, ncls)
         out["dense_heatmap"] = jnp.stack(heatmap_train, axis=1)
         out["multistage_masks"] = jnp.stack(multistage_masks, axis=1)
-        out["num_prop"] = num_prop
         if gt_group_info is not None:
             out["gt_valid_mask"] = gt_group_info["valid"]
             out["gt_query_labels"] = gt_group_info["labels"]
@@ -466,7 +465,7 @@ def get_bboxes(cfg: FocalDecoderConfig, out: Dict[str, jax.Array],
     instead of boolean filtering; the nuScenes default runs no NMS
     (nms_type=None) and caps at 200 boxes by score.
     """
-    num_prop = out["num_prop"]
+    num_prop = cfg.total_stages * cfg.num_proposals
     sl = lambda x: x[:, -1, :num_prop]  # last round, real queries
     heat = jax.nn.sigmoid(sl(out["heatmap"]))
     one_hot = jax.nn.one_hot(

@@ -25,4 +25,9 @@ except Exception:
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Persistent compilation cache: the model graphs are large and CPU XLA
+# compiles are slow; cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
