@@ -41,8 +41,11 @@ def main():
     mask = jnp.asarray(batch["points_mask"])
 
     vox0 = preprocess_points(cfg, points, mask)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, vox0, None,
-                           False)
+    # jitted init: eager per-op dispatch on TPU is minutes for this model
+    init = jax.jit(
+        lambda k, v: model.init({"params": k}, v, None, False)
+    )
+    variables = init(jax.random.PRNGKey(0), vox0)
 
     @jax.jit
     def infer(variables, points, mask):

@@ -13,6 +13,9 @@ _REGISTRY = {
     "FocalFormer3D_L": "focalformer3d_l",
     "DeformFormer3D_L": "deformformer3d_l",
     "FocalFormer3D_Waymo_L": "focalformer3d_waymo_l",
+    "FocalFormer3D_LC": "focalformer3d_lc",
+    "DeformFormer3D_C_R50": "deformformer3d_c_r50",
+    "Tiny_L": "tiny_l",
 }
 
 

@@ -60,6 +60,67 @@ def make_scene(
     return pts, boxes, labels
 
 
+def make_cameras(
+    rng: np.random.RandomState,
+    n_cams: int = 6,
+    img_hw=(448, 800),
+):
+    """Synthetic surround-view rig: yaw-ring extrinsics + shared pinhole
+    intrinsics. Returns lidar2img (Ncam, 4, 4)."""
+    H, W = img_hw
+    fx = fy = 0.6 * W
+    K = np.array([
+        [fx, 0, W / 2, 0],
+        [0, fy, H / 2, 0],
+        [0, 0, 1, 0],
+        [0, 0, 0, 1],
+    ], np.float32)
+    mats = []
+    for i in range(n_cams):
+        yaw = 2 * np.pi * i / n_cams + rng.uniform(-0.05, 0.05)
+        c, s = np.cos(yaw), np.sin(yaw)
+        # lidar -> camera: camera looks along +yaw; cam frame = (right, down,
+        # forward)
+        R_l2c = np.array([
+            [-s, c, 0],  # right
+            [0, 0, -1],  # down
+            [c, s, 0],  # forward
+        ], np.float32)
+        t = -R_l2c @ np.array([1.0 * c, 1.0 * s, 1.8], np.float32)
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = R_l2c
+        ext[:3, 3] = t
+        mats.append(K @ ext)
+    return np.stack(mats)
+
+
+def render_images(
+    points: np.ndarray,  # (N, >=3)
+    lidar2img: np.ndarray,  # (Ncam, 4, 4)
+    img_hw=(448, 800),
+):
+    """Splat scene points into each camera (intensity by inverse depth), so
+    images carry real geometry for overfit tests."""
+    H, W = img_hw
+    n_cams = lidar2img.shape[0]
+    imgs = np.zeros((n_cams, H, W, 3), np.float32)
+    ph = np.concatenate(
+        [points[:, :3], np.ones((len(points), 1), np.float32)], -1
+    )
+    for c in range(n_cams):
+        proj = ph @ lidar2img[c].T
+        z = proj[:, 2]
+        keep = z > 0.5
+        u = (proj[keep, 0] / z[keep]).astype(np.int32)
+        v = (proj[keep, 1] / z[keep]).astype(np.int32)
+        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        u, v = u[inb], v[inb]
+        w = 1.0 / np.clip(z[keep][inb], 1.0, None)
+        for ch in range(3):
+            np.add.at(imgs[c, :, :, ch], (v, u), w)
+    return np.clip(imgs, 0, 1)
+
+
 def make_batch(
     rng: np.random.RandomState,
     batch_size: int = 2,
@@ -69,8 +130,12 @@ def make_batch(
     num_classes: int = 10,
     pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
     point_dim: int = 5,
+    with_images: bool = False,
+    n_cams: int = 6,
+    img_hw=(448, 800),
 ):
     pts, masks, gts, gls, gvs = [], [], [], [], []
+    imgs, l2is = [], []
     for _ in range(batch_size):
         p, b, l = make_scene(rng, n_points, n_boxes, num_classes, pc_range,
                              point_dim)
@@ -83,10 +148,25 @@ def make_batch(
         gv = np.zeros((max_gts,), bool)
         gv[:len(b)] = True
         gts.append(gb); gls.append(gl); gvs.append(gv)
-    return {
+        if with_images:
+            l2i = make_cameras(rng, n_cams, img_hw)
+            imgs.append(render_images(p, l2i, img_hw))
+            l2is.append(l2i)
+    out = {
         "points": np.stack(pts),
         "points_mask": np.stack(masks),
         "gt_boxes": np.stack(gts),
         "gt_labels": np.stack(gls),
         "gt_valid": np.stack(gvs),
     }
+    if with_images:
+        out["imgs"] = np.stack(imgs)
+        out["lidar2img"] = np.stack(l2is)
+        eye = np.broadcast_to(
+            np.eye(4, dtype=np.float32), (batch_size, n_cams, 4, 4)
+        )
+        out["img_aug"] = np.array(eye)
+        out["bev_aug"] = np.array(
+            np.broadcast_to(np.eye(4, dtype=np.float32), (batch_size, 4, 4))
+        )
+    return out

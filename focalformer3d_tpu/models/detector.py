@@ -2,10 +2,12 @@
 
 Counterpart of the reference top-level detector
 (/root/reference/projects/mmdet3d_plugin/models/detectors/focalformer3d.py):
-voxelization -> VFE -> sparse middle encoder -> SECOND/FPN BEV backbone ->
+[image branch: ResNet+FPN -> LSS or I2P camera BEV] + [point branch:
+voxelization -> VFE -> sparse middle encoder -> SECOND/FPN BEV backbone] ->
 FocalEncoder fusion neck -> FocalDecoder head.  Voxelization is a pure
 preprocessing function (no params) so the whole forward is one jitted
-program; the camera branch plugs in via ``img_bev`` (see models/lss.py).
+program.  Camera geometry (lidar2img / aug matrices) rides in the
+``img_data`` dict as fixed-shape arrays.
 """
 from __future__ import annotations
 
@@ -20,6 +22,8 @@ from ..ops import voxelize as vox
 from . import focal_decoder as fd
 from .focal_decoder import FocalDecoder, FocalDecoderConfig
 from .focal_encoder import FocalEncoder
+from .lss import LSSConfig
+from .resnet import FPN, ResNet
 from .second import SECOND, SECONDFPN
 from .sparse_encoder import SparseEncoder
 from .vfe import hard_simple_vfe, HardVFE
@@ -54,7 +58,22 @@ class DetectorConfig:
     hidden: int = 128
     iterbev: str = "bevfusionmb2"
     extra_feat: bool = True
+    # ---- image branch (LC fusion / camera-only) ----
     input_img: bool = False
+    input_pts: bool = True
+    img_backbone_depth: int = 50
+    img_fpn_outs: int = 5
+    use_grid_mask: bool = False  # applied host/train-step side on imgs
+    cam_proj: str = "lss"  # 'lss' | 'i2p'
+    iter_bev_cam: bool = True
+    max_points_height: int = 10
+    lss: LSSConfig = dataclasses.field(default_factory=LSSConfig)
+    bev_shape: Tuple[int, int] = (180, 180)
+    # freeze flags: consumed by training/optim param filters (the reference
+    # detaches these branches when finetuning, focalformer3d.py:80-131)
+    freeze_img: bool = False
+    freeze_camlss: bool = False
+    freeze_pts: bool = False
     decoder: FocalDecoderConfig = dataclasses.field(
         default_factory=FocalDecoderConfig
     )
@@ -88,8 +107,8 @@ class FocalFormer3D(nn.Module):
     @nn.compact
     def __call__(
         self,
-        voxel_data: Dict[str, jax.Array],
-        img_bev: Optional[jax.Array] = None,
+        voxel_data: Optional[Dict[str, jax.Array]],
+        img_data: Optional[Dict[str, jax.Array]] = None,
         train: bool = False,
         gt_boxes: Optional[jax.Array] = None,
         gt_labels: Optional[jax.Array] = None,
@@ -97,49 +116,73 @@ class FocalFormer3D(nn.Module):
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
 
-        # ---- VFE ----
-        if cfg.vfe_type == "HardSimpleVFE":
-            feats = hard_simple_vfe(
-                voxel_data["voxels"], voxel_data["num_points"]
-            )
-            valid = voxel_data["voxel_mask"]
-        elif cfg.vfe_type == "HardVFE":
-            feats = HardVFE(
-                feat_channels=cfg.vfe_channels,
-                voxel_size=cfg.voxel.voxel_size,
-                point_cloud_range=cfg.voxel.point_cloud_range,
-                name="vfe",
-            )(
-                voxel_data["voxels"], voxel_data["num_points"],
-                voxel_data["coords"], train,
-            )
-            valid = voxel_data["voxel_mask"]
-        elif cfg.vfe_type == "DynamicSimpleVFE":
-            feats = voxel_data["features"]
-            valid = voxel_data["voxel_mask"]
-        else:  # pragma: no cover
-            raise ValueError(cfg.vfe_type)
+        # ---- image branch ----
+        neck_img_data = None
+        if cfg.input_img and img_data is not None:
+            imgs = img_data["imgs"]  # (B, Ncam, H, W, 3)
+            B, N = imgs.shape[:2]
+            flat = imgs.reshape((B * N,) + imgs.shape[2:])
+            bb_train = train and not cfg.freeze_img
+            feats = ResNet(
+                depth=cfg.img_backbone_depth, name="img_backbone"
+            )(flat, bb_train)
+            fpn = FPN(256, cfg.img_fpn_outs, name="img_neck")(feats, bb_train)
+            lvl0 = fpn[0]
+            lvl0 = lvl0.reshape((B, N) + lvl0.shape[1:])
+            lidar2img = img_data["lidar2img"]
+            inv = jnp.linalg.inv(lidar2img)
+            neck_img_data = {
+                "img_feats": lvl0,
+                "lidar2img": lidar2img,
+                "cam2lidar_rot": inv[..., :3, :3],
+                "cam2lidar_trans": inv[..., :3, 3],
+                "img_aug": img_data.get("img_aug"),
+                "bev_aug": img_data.get("bev_aug"),
+            }
 
-        # ---- sparse middle encoder -> dense BEV ----
-        bev = SparseEncoder(
-            sparse_shape=cfg.sparse_shape,
-            output_channels=cfg.sparse_out_channels,
-            encoder_channels=cfg.encoder_channels,
-            down_paddings=cfg.down_paddings,
-            capacities=cfg.capacities,
-            out_capacity=cfg.out_capacity,
-            name="pts_middle_encoder",
-        )(feats, voxel_data["coords"], valid, train)
+        # ---- point branch ----
+        fpn_bev = None
+        if cfg.input_pts:
+            if cfg.vfe_type == "HardSimpleVFE":
+                feats = hard_simple_vfe(
+                    voxel_data["voxels"], voxel_data["num_points"]
+                )
+                valid = voxel_data["voxel_mask"]
+            elif cfg.vfe_type == "HardVFE":
+                feats = HardVFE(
+                    feat_channels=cfg.vfe_channels,
+                    voxel_size=cfg.voxel.voxel_size,
+                    point_cloud_range=cfg.voxel.point_cloud_range,
+                    name="vfe",
+                )(
+                    voxel_data["voxels"], voxel_data["num_points"],
+                    voxel_data["coords"], train,
+                )
+                valid = voxel_data["voxel_mask"]
+            elif cfg.vfe_type == "DynamicSimpleVFE":
+                feats = voxel_data["features"]
+                valid = voxel_data["voxel_mask"]
+            else:  # pragma: no cover
+                raise ValueError(cfg.vfe_type)
 
-        # ---- SECOND + FPN ----
-        sec = SECOND(
-            out_channels=cfg.second_channels,
-            layer_nums=cfg.second_layers,
-            name="pts_backbone",
-        )(bev, train)
-        fpn = SECONDFPN(
-            out_channels=cfg.fpn_channels, name="pts_neck"
-        )(sec, train)
+            bev = SparseEncoder(
+                sparse_shape=cfg.sparse_shape,
+                output_channels=cfg.sparse_out_channels,
+                encoder_channels=cfg.encoder_channels,
+                down_paddings=cfg.down_paddings,
+                capacities=cfg.capacities,
+                out_capacity=cfg.out_capacity,
+                name="pts_middle_encoder",
+            )(feats, voxel_data["coords"], valid, train)
+
+            sec = SECOND(
+                out_channels=cfg.second_channels,
+                layer_nums=cfg.second_layers,
+                name="pts_backbone",
+            )(bev, train)
+            fpn_bev = SECONDFPN(
+                out_channels=cfg.fpn_channels, name="pts_neck"
+            )(sec, train)
 
         # ---- fusion neck ----
         pts_feat_conv, stage_feats = FocalEncoder(
@@ -150,8 +193,14 @@ class FocalFormer3D(nn.Module):
             multistage_heatmap=cfg.decoder.multistage_heatmap,
             extra_feat=cfg.extra_feat,
             input_img=cfg.input_img,
+            input_pts=cfg.input_pts,
+            cam_proj=cfg.cam_proj if cfg.input_img else "",
+            iter_bev_cam=cfg.iter_bev_cam,
+            max_points_height=cfg.max_points_height,
+            lss=cfg.lss,
+            bev_shape=cfg.bev_shape,
             name="imgpts_neck",
-        )(img_bev, fpn, train)
+        )(neck_img_data, fpn_bev, train)
 
         # ---- head ----
         out = FocalDecoder(cfg.decoder, name="pts_bbox_head")(

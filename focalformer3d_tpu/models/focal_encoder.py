@@ -6,20 +6,30 @@ then iteratively mix the BEV map (and, in fusion mode, inject camera BEV
 features), collecting one BEV map per Hard-Instance-Probing stage; an
 optional extra conv provides the decoder's value feature.
 
-Layer variants:
+Layer variants (reference focal_encoder.py:15-87):
   'bevfusionmb2' — MobileNetV2 inverted-residual self-mixing (LiDAR-only cfgs)
   'bevfusion'    — local-window cross-attention (k=9) self-mixing (LC fusion)
+
+Camera projection variants:
+  cam_proj='lss' — LiftSplatShoot camera BEV consumed by every layer
+                   (FocalFormer3D_LC.py:194-209, iter_bev_cam=True)
+  cam_proj='i2p' — per-layer (or layer-0-only if iter_bev_cam) I2P projection
+                   fusion (FocalFormer3D_LC_Proj variant)
+  camera-only    — input_pts=False, num_layers=0: the cam BEV feeds the head
+                   directly (DeformFormer3D_C_R50.py, focal_encoder.py:196-209)
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.local_attn import local_attention
+from .i2p import I2P
 from .layers import BasicBlock2d, ConvBN, InvertedResidual
+from .lss import LiftSplatShoot, LSSConfig
 
 
 class LocalContextBlock(nn.Module):
@@ -44,35 +54,66 @@ class FocalEncoderLayer(nn.Module):
     hidden: int = 128
     iterbev: str = "bevfusionmb2"
     iterbev_wo_img: bool = True
+    layer_id: int = 0
+    iter_bev_cam: bool = False
+    cam_proj: str = ""  # '' | 'lss' | 'i2p'
+    max_points_height: int = 10
+    pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    img_input_shape: Tuple[int, int] = (448, 800)
 
     @nn.compact
-    def __call__(self, img_bev, lidar_feat, train: bool = False):
-        # I2P feature: camera BEV in fusion mode, else the lidar map itself.
-        i2p = lidar_feat if (self.iterbev_wo_img or img_bev is None) else img_bev
+    def __call__(self, img_feat, lidar_feat,
+                 img_data: Optional[Dict[str, Any]] = None,
+                 train: bool = False):
+        # ---- image-to-BEV feature ----
+        if self.iterbev_wo_img or img_feat is None:
+            i2p_feat = lidar_feat
+        elif self.cam_proj == "i2p" and (
+            not self.iter_bev_cam or self.layer_id == 0
+        ):
+            i2p_feat = I2P(
+                pts_channels=self.hidden,
+                max_points_height=self.max_points_height,
+                pc_range=self.pc_range,
+                input_shape=self.img_input_shape,
+                name="I2P_block",
+            )(
+                lidar_feat, img_feat, img_data["lidar2img"],
+                img_data.get("img_aug"), img_data.get("bev_aug"), train,
+            )
+            img_feat = i2p_feat  # iter_bev_cam: later layers reuse it
+        else:
+            i2p_feat = img_feat  # cam BEV (lss) or previous I2P output
+
+        # ---- BEV self-mixing + integration ----
         if self.iterbev == "bevfusionmb2":
-            p2p = InvertedResidual(self.hidden, 2, name="P_IML")(lidar_feat, train)
+            p2p = InvertedResidual(self.hidden, 2, name="P_IML")(
+                lidar_feat, train
+            )
+            aug = InvertedResidual(self.hidden, 1, name="P_out_proj")(
+                jnp.concatenate([i2p_feat, p2p], axis=-1), train
+            )
+            new_lidar = InvertedResidual(self.hidden, 1, name="P_integration")(
+                jnp.concatenate([aug, lidar_feat], axis=-1), train
+            )
         elif self.iterbev == "bevfusion":
             p2p = LocalContextBlock(self.hidden, 9, name="P_IML")(
                 lidar_feat, lidar_feat, train
             )
+            aug = ConvBN(self.hidden, 1, activation=None, name="P_out_proj")(
+                jnp.concatenate([i2p_feat, p2p], axis=-1), train
+            )
+            new_lidar = ConvBN(
+                self.hidden, 1, activation=None, name="P_integration"
+            )(jnp.concatenate([aug, lidar_feat], axis=-1), train)
         else:  # pragma: no cover - config error
             raise ValueError(self.iterbev)
-        aug = InvertedResidual(self.hidden, 1, name="P_out_proj")(
-            jnp.concatenate([i2p, p2p], axis=-1), train
-        ) if self.iterbev == "bevfusionmb2" else ConvBN(
-            self.hidden, 1, activation=None, name="P_out_proj"
-        )(jnp.concatenate([i2p, p2p], axis=-1), train)
-        new_lidar = InvertedResidual(self.hidden, 1, name="P_integration")(
-            jnp.concatenate([aug, lidar_feat], axis=-1), train
-        ) if self.iterbev == "bevfusionmb2" else ConvBN(
-            self.hidden, 1, activation=None, name="P_integration"
-        )(jnp.concatenate([aug, lidar_feat], axis=-1), train)
 
-        if self.iterbev_wo_img or img_bev is None:
+        if self.iterbev_wo_img or img_feat is None:
             new_img = None
         else:
-            new_img = BasicBlock2d(img_bev.shape[-1], name="iterimg")(
-                img_bev, train
+            new_img = BasicBlock2d(img_feat.shape[-1], name="iterimg")(
+                img_feat, train
             )
         return new_img, new_lidar
 
@@ -85,25 +126,65 @@ class FocalEncoder(nn.Module):
     multistage_heatmap: int = 1
     extra_feat: bool = True
     input_img: bool = False
+    input_pts: bool = True
+    cam_proj: str = ""  # '' | 'lss' | 'i2p'
+    iter_bev_cam: bool = False
+    max_points_height: int = 10
+    lss: LSSConfig = LSSConfig()
+    bev_shape: Tuple[int, int] = (180, 180)
 
     @nn.compact
     def __call__(
         self,
-        img_bev: Optional[jax.Array],  # camera BEV (B, H, W, C) or None
-        pts_feats: jax.Array,  # (B, H, W, 512) from SECOND-FPN
+        img_data: Optional[Dict[str, Any]],  # camera arrays, or None
+        pts_feats: Optional[jax.Array],  # (B, H, W, 512) from SECOND-FPN
         train: bool = False,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Returns (pts_feat_conv, multistage_feats [+extra])."""
-        x = nn.Conv(self.hidden, (3, 3), name="shared_conv_pts")(pts_feats)
+        img_feat = None
+        if self.input_img and img_data is not None:
+            if self.cam_proj == "lss":
+                img_feat, _depth = LiftSplatShoot(self.lss, name="cam_lss")(
+                    img_data["img_feats"],
+                    img_data["cam2lidar_rot"],
+                    img_data["cam2lidar_trans"],
+                    img_data.get("img_aug"),
+                    img_data.get("bev_aug"),
+                    train,
+                )
+                if not self.input_pts and not self.multistage_heatmap:
+                    # camera-only model: cam BEV feeds the head directly
+                    # (reference focal_encoder.py:196-198).
+                    return img_feat, [img_feat]
+            elif self.cam_proj == "i2p":
+                img_feat = nn.Conv(
+                    self.hidden, (3, 3), name="shared_conv_img"
+                )(img_data["img_feats"])
+            else:  # pragma: no cover - config error
+                raise ValueError(self.cam_proj)
+
+        if self.input_pts:
+            x = nn.Conv(self.hidden, (3, 3), name="shared_conv_pts")(
+                pts_feats
+            )
+        else:
+            B = img_feat.shape[0]
+            x = jnp.zeros(
+                (B,) + self.bev_shape + (self.hidden,), img_feat.dtype
+            )
         pts_feat_conv = x
+
         stage_feats = []
-        img = img_bev
         for i in range(self.num_layers):
-            img, x = FocalEncoderLayer(
-                self.hidden, self.iterbev, self.iterbev_wo_img,
+            img_feat, x = FocalEncoderLayer(
+                self.hidden, self.iterbev, self.iterbev_wo_img, i,
+                self.iter_bev_cam, self.cam_proj, self.max_points_height,
+                self.lss.pc_range, self.lss.img_scale,
                 name=f"fusion{i}",
-            )(img, x, train)
+            )(img_feat, x, img_data, train)
             stage_feats.append(x)
+        if not stage_feats:
+            stage_feats = [x]
         if self.extra_feat:
             stage_feats.append(
                 ConvBN(self.hidden, 3, activation=None, name="extra_output")(

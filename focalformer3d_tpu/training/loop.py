@@ -1,0 +1,89 @@
+"""Epoch-based training loop: data feeding, Fading, logging, checkpointing.
+
+The runtime counterpart of mmcv's EpochBasedRunner + hooks as used by the
+reference (/root/reference/tools/train.py:295-302; hooks configured at
+projects/configs/focalformer3d/FocalFormer3D_L.py:344-369):
+  - cyclic LR / momentum (folded into the optax schedule, training/optim.py)
+  - grad clip (optax chain)
+  - Fading: drop the ObjectSample GT-paste transform at `fade_epoch`
+    (core/hook/fading.py:6-16)
+  - per-epoch checkpointing with auto-resume
+  - text logging every `log_interval` iters
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from . import checkpoint as ckpt
+
+
+class Fading:
+    """Removes the ObjectSample stage from a Compose at fade_epoch."""
+
+    def __init__(self, fade_epoch: int):
+        self.fade_epoch = fade_epoch
+
+    def before_train_epoch(self, epoch: int, pipeline) -> None:
+        if pipeline is None or epoch < self.fade_epoch:
+            return
+        from ..data.nuscenes import ObjectSample
+
+        pipeline.transforms = [
+            t for t in pipeline.transforms if not isinstance(t, ObjectSample)
+        ]
+
+
+def run_training(
+    train_step: Callable,
+    state,
+    batch_iter_fn: Callable[[int], Iterable[Dict[str, np.ndarray]]],
+    *,
+    epochs: int,
+    start_epoch: int = 0,
+    rng: Optional[jax.Array] = None,
+    work_dir: Optional[str] = None,
+    keep_last: Optional[int] = None,
+    log_interval: int = 50,
+    log_fn: Callable[[str], None] = print,
+    hooks: Iterable = (),
+    shard_fn: Optional[Callable] = None,
+):
+    """Generic epoch loop. `batch_iter_fn(epoch)` yields host batches."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    step_fn = jax.jit(train_step)
+    for epoch in range(start_epoch, epochs):
+        for h in hooks:
+            h.before_train_epoch(epoch, getattr(h, "pipeline", None))
+        t_ep = time.time()
+        n_iter = 0
+        running = {}
+        t_it = time.time()
+        for batch in batch_iter_fn(epoch):
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            state, metrics = step_fn(state, batch, rng)
+            n_iter += 1
+            if n_iter % log_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t_it) / log_interval
+                t_it = time.time()
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(
+                    metrics.items()
+                ))
+                log_fn(
+                    f"epoch {epoch} iter {n_iter} ({dt:.2f}s/it) {msg}"
+                )
+        log_fn(
+            f"epoch {epoch} done in {(time.time() - t_ep) / 60:.1f} min "
+            f"({n_iter} iters)"
+        )
+        if work_dir:
+            path = ckpt.save_checkpoint(
+                work_dir, state, epoch + 1, keep_last=keep_last
+            )
+            log_fn(f"saved {path}")
+    return state

@@ -5,6 +5,12 @@ step (it is pure array work, so it runs on device), then the model forward,
 Hungarian-matched losses, grads, optimizer update, and BN running-stat
 updates. Under a 1-D data mesh the same function is the multi-chip program —
 inputs arrive batch-sharded, parameters replicated.
+
+Branch freezing (the reference's requires_grad=False + .eval() on img /
+cam_lss / pts branches, detectors/focalformer3d.py:80-131) is functional
+here: `freeze_mask` zeroes the frozen subtrees' gradient updates via
+``optax.masked``-style multiplication, and the model itself runs frozen BN
+in inference mode (`freeze_img` -> ``bb_train=False`` inside the detector).
 """
 from __future__ import annotations
 
@@ -17,7 +23,10 @@ import jax.numpy as jnp
 import optax
 
 from ..models.detector import DetectorConfig, FocalFormer3D, preprocess_points
+from ..models.grid_mask import grid_mask
 from .losses import LossConfig, detection_loss
+
+_IMG_KEYS = ("imgs", "lidar2img", "img_aug", "bev_aug")
 
 
 @dataclasses.dataclass
@@ -28,6 +37,47 @@ class TrainState:
     step: jax.Array
 
 
+def _img_data_from_batch(batch: Dict[str, jax.Array]):
+    if "imgs" not in batch:
+        return None
+    return {k: batch[k] for k in _IMG_KEYS if k in batch}
+
+
+def freeze_mask(cfg: DetectorConfig, params: Any) -> Any:
+    """Pytree of 0/1 multipliers implementing the reference freeze flags.
+
+    freeze_pts covers the point branch + shared_conv_pts (the reference
+    freezes pts_voxel/middle/backbone/neck and imgpts_neck.shared_conv_pts);
+    freeze_img covers img_backbone/img_neck; freeze_camlss the LSS module.
+    """
+    frozen_prefixes = []
+    if cfg.freeze_img:
+        frozen_prefixes += ["img_backbone", "img_neck"]
+    if cfg.freeze_camlss:
+        frozen_prefixes += ["imgpts_neck/cam_lss"]
+    if cfg.freeze_pts:
+        frozen_prefixes += [
+            "vfe", "pts_middle_encoder", "pts_backbone", "pts_neck",
+            "imgpts_neck/shared_conv_pts",
+        ]
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(
+            getattr(p, "key", str(getattr(p, "idx", p))) for p in path
+        )
+
+    def mask_leaf(path, leaf):
+        s = path_str(path)
+        frozen = any(s.startswith(p) or f"/{p}" in s for p in frozen_prefixes)
+        return jnp.zeros((), leaf.dtype) if frozen else jnp.ones(
+            (), leaf.dtype
+        )
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
 def create_train_state(
     cfg: DetectorConfig,
     tx: optax.GradientTransformation,
@@ -35,12 +85,22 @@ def create_train_state(
     sample_batch: Dict[str, jax.Array],
 ) -> Tuple[FocalFormer3D, TrainState]:
     model = FocalFormer3D(cfg)
-    vox = preprocess_points(cfg, sample_batch["points"],
-                            sample_batch["points_mask"])
+    vox = None
+    if cfg.input_pts:
+        vox = preprocess_points(cfg, sample_batch["points"],
+                                sample_batch["points_mask"])
+    img_data = _img_data_from_batch(sample_batch) if cfg.input_img else None
     k1, k2, k3 = jax.random.split(rng, 3)
-    variables = model.init(
-        {"params": k1, "gt": k2, "dropout": k3},
-        vox, None, True,
+
+    @jax.jit  # eager per-op dispatch of init is minutes on TPU
+    def _init(k1, k2, k3, vox, img_data, gtb, gtl, gtv):
+        return model.init(
+            {"params": k1, "gt": k2, "dropout": k3},
+            vox, img_data, True, gtb, gtl, gtv,
+        )
+
+    variables = _init(
+        k1, k2, k3, vox, img_data,
         sample_batch["gt_boxes"], sample_batch["gt_labels"],
         sample_batch["gt_valid"],
     )
@@ -63,13 +123,23 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
-        vox = preprocess_points(cfg, batch["points"], batch["points_mask"])
-        kg, kd = jax.random.split(jax.random.fold_in(rng, state.step))
+        vox = None
+        if cfg.input_pts:
+            vox = preprocess_points(
+                cfg, batch["points"], batch["points_mask"]
+            )
+        kg, kd, km = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3
+        )
+        img_data = _img_data_from_batch(batch) if cfg.input_img else None
+        if img_data is not None and cfg.use_grid_mask:
+            img_data = dict(img_data)
+            img_data["imgs"] = grid_mask(km, img_data["imgs"])
 
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                vox, None, True,
+                vox, img_data, True,
                 batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
                 rngs={"gt": kg, "dropout": kd},
                 mutable=["batch_stats"],
@@ -83,6 +153,11 @@ def make_train_step(
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if cfg.freeze_img or cfg.freeze_camlss or cfg.freeze_pts:
+            fmask = freeze_mask(cfg, state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, fmask
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -99,9 +174,15 @@ def make_eval_step(cfg: DetectorConfig, max_out: int = 200):
     model = FocalFormer3D(cfg)
 
     def eval_step(params, batch_stats, batch):
-        vox = preprocess_points(cfg, batch["points"], batch["points_mask"])
+        vox = None
+        if cfg.input_pts:
+            vox = preprocess_points(
+                cfg, batch["points"], batch["points_mask"]
+            )
+        img_data = _img_data_from_batch(batch) if cfg.input_img else None
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, vox, None, False
+            {"params": params, "batch_stats": batch_stats},
+            vox, img_data, False,
         )
         return model.get_bboxes(out, max_out)
 

