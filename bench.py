@@ -47,25 +47,27 @@ def main():
     )
     variables = init(jax.random.PRNGKey(0), vox0)
 
+    # NOTE: on the remote-TPU (axon) backend jax.block_until_ready does NOT
+    # synchronize — repeated identical calls report ~0 ms. Timing therefore
+    # chains each iteration's input on the previous output (forcing serial
+    # execution) and syncs with a 1-element host fetch at the end.
     @jax.jit
-    def infer(variables, points, mask):
-        vox = preprocess_points(cfg, points, mask)
+    def infer(variables, points, mask, eps):
+        vox = preprocess_points(cfg, points + eps, mask)
         out = model.apply(variables, vox, None, False)
-        return fd.get_bboxes(cfg.decoder, out, 200)
+        dec = fd.get_bboxes(cfg.decoder, out, 200)
+        return dec, dec["scores"].sum() * 0.0
 
     # warmup / compile
-    res = infer(variables, points, mask)
-    jax.block_until_ready(res)
+    res, eps = infer(variables, points, mask, jnp.float32(0))
+    _ = float(eps)
 
-    lat = []
     iters = 30
+    t0 = time.perf_counter()
     for i in range(iters):
-        t0 = time.perf_counter()
-        res = infer(variables, points, mask)
-        jax.block_until_ready(res)
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat)
-    p50 = float(np.percentile(lat, 50))
+        res, eps = infer(variables, points, mask, eps)
+    _ = float(eps)  # host fetch: syncs the whole chain
+    p50 = (time.perf_counter() - t0) / iters
     scans_per_sec = 1.0 / p50
 
     print(json.dumps({

@@ -36,9 +36,14 @@ class _Timer:
 
     def __exit__(self, *exc):
         if self._sync_val is not None:
+            # On remote-TPU backends block_until_ready may not actually wait;
+            # a 1-element host fetch of each leaf is the reliable sync.
             import jax
+            import jax.numpy as jnp
 
-            jax.block_until_ready(self._sync_val)
+            for leaf in jax.tree_util.tree_leaves(self._sync_val):
+                if hasattr(leaf, "ravel") and getattr(leaf, "size", 0) > 0:
+                    float(jnp.ravel(leaf)[0])
         dt = time.perf_counter() - self.t0
         _prefix.pop()
         if self.record:
