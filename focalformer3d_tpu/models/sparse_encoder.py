@@ -9,12 +9,22 @@ configured by the reference (FocalFormer3D_L.py:198-206):
     stage3: 2x SparseBasicBlock(64)            + SparseConv(64->128, s2, p(0,1,1))
     stage4: 2x SparseBasicBlock(128)
     conv_out: SparseConv(128->out, k(3,1,1), s(2,1,1), p0) + BN + ReLU
-    -> dense (D', H, W, C) -> BEV (H, W, D'*C)
+    -> dense BEV (H, W, D_out*C)
 
-All sparse convolutions use the gather-GEMM rulebook engine from
-ops.sparse_conv; submanifold rulebooks are built once per voxel set and
-shared across the blocks of a stage (spconv indice_key semantics).  Voxel
-tables are fixed capacity per stage; overflow drops lowest-key voxels.
+Two interchangeable backends (identical parameters, identical outputs — see
+tests/test_pillar_conv.py):
+
+  engine='voxel' (default): per-voxel rulebooks with a dense index grid,
+      slice-kz gathers, and one fused gather + wide MXU matmul per conv
+      (ops/sparse_conv.py). Wins at nuScenes scale (Dz=41: dense-z pillars
+      overcompute ~20-40x on the z axis).
+  engine='pillar': sparse-BEV / dense-Z pillars (ops/pillar_conv.py) — 9
+      contiguous BEV-neighbor gathers + dense z-window matmuls; preferable
+      when Dz is small or columns are tall/dense.
+
+Weights are stored as (27, Cin, Cout) with kernel_offsets (dz, dy, dx)
+ordering in both engines; the pillar engine reshapes to (9 bev, 3 z) taps.
+Voxel tables / pillar sets are fixed capacity per stage.
 """
 from __future__ import annotations
 
@@ -24,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import pillar_conv as pc
 from ..ops import sparse_conv as sc
 from .layers import MaskedBatchNorm
 
@@ -36,6 +47,19 @@ def _conv_param(module, name, k, cin, cout):
         name, lambda key: std * jax.random.normal(key, (k, cin, cout))
     )
 
+
+def _w27_to_pillar(w27: jax.Array) -> jax.Array:
+    """(27, Cin, Cout) kernel_offsets (dz,dy,dx) order -> (9, 3, Cin, Cout)
+    pillar order (bev tap dy*3+dx, z tap dz)."""
+    c_in, c_out = w27.shape[1], w27.shape[2]
+    return jnp.transpose(
+        w27.reshape(3, 3, 3, c_in, c_out), (1, 2, 0, 3, 4)
+    ).reshape(9, 3, c_in, c_out)
+
+
+# ---------------------------------------------------------------------------
+# voxel-engine blocks
+# ---------------------------------------------------------------------------
 
 class _SubMConvBN(nn.Module):
     features: int
@@ -60,8 +84,12 @@ class _SparseBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, rules, valid, train: bool = False):
         identity = feats
-        y = _SubMConvBN(self.features, act=True)(feats, rules, valid, train)
-        y = _SubMConvBN(self.features, act=False)(y, rules, valid, train)
+        y = _SubMConvBN(self.features, act=True, name="conv0")(
+            feats, rules, valid, train
+        )
+        y = _SubMConvBN(self.features, act=False, name="conv1")(
+            y, rules, valid, train
+        )
         return jnp.where(valid[..., None], nn.relu(y + identity), 0.0)
 
 
@@ -80,6 +108,62 @@ class _DownConvBN(nn.Module):
         return nn.relu(y)
 
 
+# ---------------------------------------------------------------------------
+# pillar-engine blocks (same parameter names/shapes)
+# ---------------------------------------------------------------------------
+
+class _PSubMConvBN(nn.Module):
+    features: int
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, feats, rules, zmask, train: bool = False):
+        w = _conv_param(self, "w", 27, feats.shape[-1], self.features)
+        wp = _w27_to_pillar(w)
+        y = jax.vmap(pc.pillar_conv, in_axes=(0, 0, None))(feats, rules, wp)
+        y = MaskedBatchNorm()(y, zmask, train)
+        y = jnp.where(zmask[..., None], y, 0.0)
+        return nn.relu(y) if self.act else y
+
+
+class _PSparseBasicBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, feats, rules, zmask, train: bool = False):
+        identity = feats
+        y = _PSubMConvBN(self.features, act=True, name="conv0")(
+            feats, rules, zmask, train
+        )
+        y = _PSubMConvBN(self.features, act=False, name="conv1")(
+            y, rules, zmask, train
+        )
+        return jnp.where(zmask[..., None], nn.relu(y + identity), 0.0)
+
+
+class _PDownConvBN(nn.Module):
+    features: int
+    kz: int = 3
+    z_stride: int = 2
+    z_padding: int = 1
+    bev_taps: int = 9  # 1 for the (3,1,1) conv_out
+
+    @nn.compact
+    def __call__(self, feats, rules, out_zmask, train: bool = False):
+        k_total = self.bev_taps * self.kz
+        w = _conv_param(self, "w", k_total, feats.shape[-1], self.features)
+        if self.bev_taps == 9:
+            wp = _w27_to_pillar(w)
+        else:  # z-only kernel (kz,Cin,Cout) -> (1, kz, Cin, Cout)
+            wp = w[None]
+        y = jax.vmap(
+            pc.pillar_conv, in_axes=(0, 0, None, None, None)
+        )(feats, rules, wp, self.z_stride, self.z_padding)
+        y = MaskedBatchNorm()(y, out_zmask, train)
+        y = jnp.where(out_zmask[..., None], y, 0.0)
+        return nn.relu(y)
+
+
 class SparseEncoder(nn.Module):
     sparse_shape: Tuple[int, int, int] = (41, 1440, 1440)  # (D, H, W)
     output_channels: int = 128
@@ -90,9 +174,10 @@ class SparseEncoder(nn.Module):
     down_paddings: Sequence[Tuple[int, int, int]] = (
         (1, 1, 1), (1, 1, 1), (0, 1, 1)
     )
-    # fixed voxel-table capacities per resolution level
+    # fixed voxel-table / pillar-set capacities per resolution level
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
+    engine: str = "voxel"  # 'voxel' | 'pillar'
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -100,10 +185,85 @@ class SparseEncoder(nn.Module):
 
         Returns BEV features (B, H/8, W/8, output_channels * D_out).
         """
+        if self.engine == "pillar":
+            return self._pillar_forward(features, coords, valid, train)
+        return self._voxel_forward(features, coords, valid, train)
+
+    # ------------------------------------------------------------------
+    def _pillar_forward(self, features, coords, valid, train):
+        Dz, H, W = self.sparse_shape
+        n_stage = len(self.encoder_channels)
+        hw = (H, W)
+
+        pset, x, zmask = jax.vmap(
+            pc.build_pillars, in_axes=(0, 0, 0, None, None)
+        )(coords, valid, features, tuple(self.sparse_shape),
+          self.capacities[0])
+        rules = jax.vmap(pc.bev_rules, in_axes=(0, None))(pset, hw)
+
+        x = _PSubMConvBN(self.encoder_channels[0][0], name="conv_input")(
+            x, rules, zmask, train
+        )
+
+        for i, blocks in enumerate(self.encoder_channels):
+            ch = blocks[0]
+            n_basic = len(blocks) - 1 if i < n_stage - 1 else len(blocks)
+            for j in range(n_basic):
+                x = _PSparseBasicBlock(ch, name=f"stage{i}_block{j}")(
+                    x, rules, zmask, train
+                )
+            if i < n_stage - 1:
+                out_ch = blocks[-1]
+                pz, py, px = self.down_paddings[i]
+                cap = self.capacities[i + 1]
+                out_hw = (
+                    (hw[0] + 2 * py - 3) // 2 + 1,
+                    (hw[1] + 2 * px - 3) // 2 + 1,
+                )
+                out_set = jax.vmap(
+                    pc.downsample_bev_set,
+                    in_axes=(0, None, None, None, None, None),
+                )(pset, hw, out_hw, cap, 2, py)
+                rules_d = jax.vmap(
+                    pc.bev_rules_strided, in_axes=(0, 0, None, None, None)
+                )(out_set, pset, hw, 2, py)
+                out_zmask = jax.vmap(
+                    pc.conv_zmask, in_axes=(0, 0, None, None, None)
+                )(zmask, rules_d, 3, 2, pz)
+                x = _PDownConvBN(
+                    out_ch, kz=3, z_stride=2, z_padding=pz,
+                    name=f"down{i}",
+                )(x, rules_d, out_zmask, train)
+                pset, zmask, hw = out_set, out_zmask, out_hw
+                rules = jax.vmap(pc.bev_rules, in_axes=(0, None))(pset, hw)
+
+        # conv_out: k(3,1,1) s(2,1,1) p0 — BEV identity taps, z collapse
+        # (pset is batched here: capacity is the second-to-last axis, NOT
+        # pset.capacity, which would read the batch dim)
+        P = pset.bev_coords.shape[-2]
+
+        def id_rules(valid_p):
+            idx = jnp.arange(P, dtype=jnp.int32)
+            return jnp.where(valid_p, idx, P)[None]  # (1, P)
+
+        rules_o = jax.vmap(id_rules)(pset.valid)
+        out_zmask = jax.vmap(
+            pc.conv_zmask, in_axes=(0, 0, None, None, None)
+        )(zmask, rules_o, 3, 2, 0)
+        x = _PDownConvBN(
+            self.output_channels, kz=3, z_stride=2, z_padding=0, bev_taps=1,
+            name="conv_out",
+        )(x, rules_o, out_zmask, train)
+
+        return jax.vmap(pc.pillars_to_dense_bev, in_axes=(0, 0, None))(
+            x, pset, hw
+        )
+
+    # ------------------------------------------------------------------
+    def _voxel_forward(self, features, coords, valid, train):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
 
-        # --- conv_input (SubM in->16) on the stage-0 voxel set ---
         table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
             coords, valid, shape
         )
@@ -147,7 +307,6 @@ class SparseEncoder(nn.Module):
                     table, shape, 3
                 )
 
-        # --- conv_out: z-collapse (3,1,1)/(2,1,1)/p0 ---
         out_shape = sc.conv_out_shape(shape, (3, 1, 1), (2, 1, 1), 0)
         out_coords, out_valid = jax.vmap(
             lambda c, v: sc.build_downsample(
@@ -167,6 +326,4 @@ class SparseEncoder(nn.Module):
             x, out_coords, out_valid, out_shape
         )  # (B, D', H', W', C)
         B, Dz, H, W, C = dense.shape
-        # (B, H, W, D'*C) — z folded into channels (reference collapses z=2
-        # x 128ch into a 256-ch BEV map, focalformer3d SURVEY §2.3)
         return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(B, H, W, Dz * C)

