@@ -18,8 +18,21 @@ _REGISTRY = {
     "Tiny_L": "tiny_l",
 }
 
+# derived variants (variants.py)
+_VARIANTS = {
+    "DeformFormer3D_L_dynamic": "deformformer3d_l_dynamic",
+    "FocalFormer3D_LC_Proj": "focalformer3d_lc_proj",
+    "FocalFormer3D_Waymo15_L": "focalformer3d_waymo15_l",
+    "FocalFormer3D_LC_TTA": "focalformer3d_lc_tta",
+    "DeformFormer3D_Waymo_L": "deformformer3d_waymo_l",
+    "DeformFormer3D_Waymo15_L": "deformformer3d_waymo15_l",
+}
+
 
 def get_config(name: str):
+    if name in _VARIANTS:
+        mod = importlib.import_module("focalformer3d_tpu.configs.variants")
+        return getattr(mod, _VARIANTS[name])()
     mod = importlib.import_module(
         f"focalformer3d_tpu.configs.{_REGISTRY[name]}"
     )
@@ -27,4 +40,4 @@ def get_config(name: str):
 
 
 def available() -> list:
-    return sorted(_REGISTRY)
+    return sorted(list(_REGISTRY) + list(_VARIANTS))

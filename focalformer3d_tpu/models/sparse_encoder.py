@@ -264,12 +264,19 @@ class SparseEncoder(nn.Module):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
 
+        # reorder the level-0 table into CSR order once, then all rulebooks
+        # hold CSR positions directly (no rows-gather per rulebook; the
+        # strided-conv outputs are CSR-ordered by construction).
+        table0 = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
+            coords, valid, shape
+        )
+        coords, valid, features = jax.vmap(sc.csr_reorder)(table0, features)
         table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
             coords, valid, shape
         )
-        rules = jax.vmap(sc.build_subm_rules, in_axes=(0, None, None))(
-            table, shape, 3
-        )
+        rules = jax.vmap(
+            sc.build_subm_rules, in_axes=(0, None, None, None)
+        )(table, shape, 3, True)
         x = _SubMConvBN(self.encoder_channels[0][0], name="conv_input")(
             features, rules, valid, train
         )
@@ -293,7 +300,7 @@ class SparseEncoder(nn.Module):
                 )(coords, valid)
                 down_rules = jax.vmap(
                     lambda t, oc, ov: sc.build_conv_rules(
-                        t, shape, oc, ov, 3, 2, pad
+                        t, shape, oc, ov, 3, 2, pad, use_positions=True
                     )
                 )(table, out_coords, out_valid)
                 x = _DownConvBN(out_ch, name=f"down{i}")(
@@ -303,9 +310,9 @@ class SparseEncoder(nn.Module):
                 table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
                     coords, valid, shape
                 )
-                rules = jax.vmap(sc.build_subm_rules, in_axes=(0, None, None))(
-                    table, shape, 3
-                )
+                rules = jax.vmap(
+                    sc.build_subm_rules, in_axes=(0, None, None, None)
+                )(table, shape, 3, True)
 
         out_shape = sc.conv_out_shape(shape, (3, 1, 1), (2, 1, 1), 0)
         out_coords, out_valid = jax.vmap(
@@ -315,7 +322,8 @@ class SparseEncoder(nn.Module):
         )(coords, valid)
         down_rules = jax.vmap(
             lambda t, oc, ov: sc.build_conv_rules(
-                t, shape, oc, ov, (3, 1, 1), (2, 1, 1), 0
+                t, shape, oc, ov, (3, 1, 1), (2, 1, 1), 0,
+                use_positions=True,
             )
         )(table, out_coords, out_valid)
         x = _DownConvBN(self.output_channels, name="conv_out")(

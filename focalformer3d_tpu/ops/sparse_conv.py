@@ -1,25 +1,33 @@
-"""Sparse 3D convolution engine: dense-index-grid rulebooks + gather-GEMM.
+"""Sparse 3D convolution engine: CSR + z-bitmask rulebooks, gather-GEMM.
 
 TPU-native replacement for spconv's submanifold / strided sparse convolutions
 (the reference's ``SparseEncoder`` middle encoder — SURVEY.md §2.3, config
 /root/reference/projects/configs/focalformer3d/FocalFormer3D_L.py:198-206).
 
 Representation: a fixed-capacity voxel table per sample —
-    features (V, C), coords (V, 3) int32 (z, y, x), valid (V,) bool.
-Neighbor lookup uses a transient dense int32 grid over the spatial shape
-(row index scattered at each active voxel's linear key): one scatter +
-K cheap gathers per rulebook. Measured on a v5 chip, this is ~60x faster
-than binary search (`searchsorted` costs ~13.7 ms per 120k-tap on TPU vs
-0.4 ms for a dense gather); the grid is a few hundred MB at the 1440^2 x 41
-top level and freed after the rulebook is built.  Convolution is then
-``sum_k gather(features, rules[k]) @ W[k]`` — K gathers + K MXU matmuls.
+    features (V, C), coords (V, 3) int32 (z, y, x), valid (V,) bool —
+indexed by a compressed-sparse-column structure over BEV columns:
+
+    meta (H*W + 1, 4) int32 = [zbits lo-word, zbits hi-word, row_start, count]
+    rows (V + 1) int32      = CSR position -> table row (V = miss sentinel)
+
+A neighbor lookup is one 16-byte row fetch from `meta` (shared by all kz
+z-taps of a BEV offset) plus bit tests and a `popcount`-rank:
+
+    row(col, z) = rows[row_start[col] + popcount(zbits[col] & ((1<<z)-1))]
+
+Why this design: TPU gathers are latency-bound and scale with the OPERAND
+size — fetching from a dense 3D index grid (340 MB at 1440^2 x 41) runs at
+~75 M lookups/s, while the meta table is <= 33 MB and one fetch serves three
+taps. The strided-conv active set needs no scatter/sort at all: the output
+z-bitmasks are pure word arithmetic on the input bitmasks, the BEV union is
+9 strided slices, and CSR positions follow from popcount + cumsum.
+
+Convolution is one fused (site, tap)-ordered gather of the feature table
+followed by a single wide MXU matmul with contraction K*C_in (apply_conv).
 Rulebooks depend only on coordinates, so they are built once per voxel set
 and shared by every submanifold layer on that set (spconv ``indice_key``
-semantics).
-
-Output sites of a strided conv are derived with a scatter-min dedupe +
-cumsum compaction over all candidate output keys (capacity-bounded, no
-sort), matching spconv's "any tap touches an active input" activation rule.
+semantics). Requires D (z extent) <= 64.
 """
 from __future__ import annotations
 
@@ -50,60 +58,120 @@ def kernel_offsets(kernel_size) -> Tuple[Tuple[int, int, int], ...]:
 
 
 def linear_keys(coords: jax.Array, valid: jax.Array, shape) -> jax.Array:
-    """z-minor linearization: key = (y*W + x)*D + z.
-
-    z-minor makes the three z-taps of a 3x3x3 kernel CONSECUTIVE keys, so a
-    rulebook needs only 9 slice-3 gathers into the index grid instead of 27
-    scalar gathers (TPU gathers are latency-bound; 3x fewer fetches)."""
+    """z-minor linearization: key = (y*W + x)*D + z (CSR order)."""
     D, H, W = shape
     key = (coords[:, 1] * W + coords[:, 2]) * D + coords[:, 0]
     return jnp.where(valid, key, INT_MAX)
 
 
+# ---------------------------------------------------------------------------
+# two-word (64-bit) z-bitmask helpers
+# ---------------------------------------------------------------------------
+
+def _zbit(z: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(1 << z) split across two int32 words (z in [0, 64))."""
+    lo = jnp.where(z < 32, jnp.left_shift(1, jnp.clip(z, 0, 31)), 0)
+    hi = jnp.where(z >= 32, jnp.left_shift(1, jnp.clip(z - 32, 0, 31)), 0)
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
+def _low_mask(z: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """bits [0, z) across two int32 words. Note (1<<31)-1 wraps correctly
+    in two's-complement int32 arithmetic."""
+    lo = jnp.where(
+        z < 32, jnp.left_shift(1, jnp.clip(z, 0, 31)) - 1, -1
+    )
+    hi = jnp.where(
+        z >= 32, jnp.left_shift(1, jnp.clip(z - 32, 0, 31)) - 1, 0
+    )
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
+def _test_bit(w0: jax.Array, w1: jax.Array, z: jax.Array) -> jax.Array:
+    lo = jnp.right_shift(w0, jnp.clip(z, 0, 31)) & 1
+    hi = jnp.right_shift(w1, jnp.clip(z - 32, 0, 31)) & 1
+    return jnp.where(z < 32, lo, hi) == 1
+
+
+def _rank(w0, w1, z):
+    """number of set bits strictly below z."""
+    m0, m1 = _low_mask(z)
+    return (
+        jax.lax.population_count(w0 & m0)
+        + jax.lax.population_count(w1 & m1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# voxel table
+# ---------------------------------------------------------------------------
+
 @dataclasses.dataclass(frozen=True)
 class VoxelTable:
-    """Dense-grid index over an active voxel set (one sample).
+    """CSR + z-bitmask index over an active voxel set (one sample)."""
 
-    ``grid`` has prod(shape)+1 entries: grid[key] = table row of the active
-    voxel at that linear key, or V (miss). The final slot absorbs invalid
-    scatters/lookups.
-    """
-
-    coords: jax.Array  # (V, 3)
-    valid: jax.Array  # (V,)
-    grid: jax.Array  # (prod(shape) + 1,) int32
+    coords: jax.Array  # (V, 3) int32 (z, y, x)
+    valid: jax.Array  # (V,) bool
+    meta: jax.Array  # (H*W + 1, 4) int32 [bits_lo, bits_hi, row_start, cnt]
+    rows: jax.Array  # (V + 1,) int32 csr position -> table row (V = miss)
 
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        return self.coords.shape[-2]
 
 
 jax.tree_util.register_pytree_node(
     VoxelTable,
-    lambda t: ((t.coords, t.valid, t.grid), None),
+    lambda t: ((t.coords, t.valid, t.meta, t.rows), None),
     lambda _, c: VoxelTable(*c),
 )
 
 
+def _column_bits(coords, valid, shape):
+    """Scatter z-bits per BEV column: two (H*W + 1,) int32 word arrays."""
+    D, H, W = shape
+    n_col = H * W
+    col = coords[:, 1] * W + coords[:, 2]
+    cslot = jnp.where(valid, col, n_col)
+    b0, b1 = _zbit(coords[:, 0])
+    bits0 = jnp.zeros((n_col + 1,), jnp.int32).at[cslot].add(
+        jnp.where(valid, b0, 0), mode="drop"
+    )
+    bits1 = jnp.zeros((n_col + 1,), jnp.int32).at[cslot].add(
+        jnp.where(valid, b1, 0), mode="drop"
+    )
+    return bits0, bits1
+
+
+def _meta_from_bits(bits0, bits1):
+    """[bits0, bits1, exclusive-cumsum(count), count] rows; the final
+    (overflow) slot gets zero bits."""
+    bits0 = bits0.at[-1].set(0)
+    bits1 = bits1.at[-1].set(0)
+    counts = (
+        jax.lax.population_count(bits0) + jax.lax.population_count(bits1)
+    )
+    row_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    return jnp.stack([bits0, bits1, row_start, counts], axis=-1)
+
+
 def build_table(coords: jax.Array, valid: jax.Array, shape) -> VoxelTable:
     D, H, W = shape
-    n = D * H * W
+    if D > 64:  # pragma: no cover - config error
+        raise ValueError(f"z extent {D} > 64 (bitmask words)")
     V = coords.shape[0]
-    keys = linear_keys(coords, valid, shape)
-    slot = jnp.where(valid, keys, n)
-    grid = jnp.full((n + 1,), V, jnp.int32).at[slot].set(
+    n_col = H * W
+    bits0, bits1 = _column_bits(coords, valid, shape)
+    meta = _meta_from_bits(bits0, bits1)
+    col = jnp.where(valid, coords[:, 1] * W + coords[:, 2], n_col)
+    pos = meta[col, 2] + _rank(meta[col, 0], meta[col, 1], coords[:, 0])
+    pos = jnp.where(valid & (pos < V), pos, V)
+    rows = jnp.full((V + 1,), V, jnp.int32).at[pos].set(
         jnp.arange(V, dtype=jnp.int32), mode="drop"
     )
-    return VoxelTable(coords, valid, grid)
-
-
-def lookup(table: VoxelTable, query_keys: jax.Array) -> jax.Array:
-    """Query keys -> row indices into the table, or V (miss sentinel)."""
-    V = table.capacity
-    n = table.grid.shape[0] - 1
-    qk = jnp.where(query_keys == INT_MAX, n, query_keys)
-    hit = table.grid[jnp.clip(qk, 0, n)]
-    return jnp.where(query_keys == INT_MAX, V, hit).astype(jnp.int32)
+    return VoxelTable(coords, valid, meta, rows)
 
 
 def build_conv_rules(
@@ -114,68 +182,80 @@ def build_conv_rules(
     kernel_size,
     stride,
     padding,
+    use_positions: bool = False,
 ) -> jax.Array:
-    """Rulebook (K, V_out): input row feeding each output site per tap.
+    """Rulebook (K, V_out): input row feeding each output site per tap,
+    kernel_offsets (dz-major) order; V_in is the miss sentinel.
 
     out[j] = sum_d W[d] * x[j*stride - padding + d]  (d in [0, kernel)^3)
-    Missing / inactive inputs map to the V_in sentinel (zero row).
-    Tap order is kernel_offsets order (dz-major, then dy, dx).
 
-    z-minor keys make the kz z-taps of one (dy, dx) column consecutive, so
-    the 27 lookups collapse to ky*kx slice-kz gathers (lax.gather with
-    slice_sizes) — ~3x fewer latency-bound grid fetches on TPU.
+    With ``use_positions=True`` the rulebook holds CSR positions instead of
+    table rows (valid when the feature table is CSR-ordered, e.g. after
+    `csr_reorder` or as produced by `build_downsample`) — this skips a
+    K*V_out-element gather per rulebook.
     """
     kz, ky, kx = _as_triple(kernel_size)
-    s = jnp.asarray(_as_triple(stride), jnp.int32)
-    p = jnp.asarray(_as_triple(padding), jnp.int32)
+    sz, sy, sx = _as_triple(stride)
+    pz, py, px = _as_triple(padding)
     D, H, W = in_shape
     V = in_table.capacity
-    n = D * H * W
-    base = out_coords * s[None, :] - p[None, :]  # (Vo, 3) zyx of dz=dy=dx=0
+    n_col = H * W
 
-    # sentinel-pad BOTH ends: starts can be as low as -pz (z-tap underflow
-    # at column 0); clipping a negative start would misalign the whole
-    # slice, so shift starts by +kz into the leading pad instead.
-    gridp = jnp.concatenate([
-        jnp.full((kz,), V, jnp.int32),
-        in_table.grid,
-        jnp.full((kz,), V, jnp.int32),
-    ])
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    zi0 = base[:, 0]
-    z_ok = (
-        (zi0[:, None] + jnp.arange(kz)[None, :] >= 0)
-        & (zi0[:, None] + jnp.arange(kz)[None, :] < D)
-    )  # (Vo, kz)
-    cols = []
+    z0 = out_coords[:, 0] * sz - pz
+    per_bev = []
     for dy in range(ky):
         for dx in range(kx):
-            yi = base[:, 1] + dy
-            xi = base[:, 2] + dx
+            yi = out_coords[:, 1] * sy - py + dy
+            xi = out_coords[:, 2] * sx - px + dx
             bev_ok = out_valid & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            start = (yi * W + xi) * D + zi0 + kz  # +kz: leading pad offset
-            start = jnp.clip(jnp.where(bev_ok, start, n + kz), 0, n + kz)
-            got = jax.lax.gather(
-                gridp, start[:, None], dn, slice_sizes=(kz,),
-                mode=jax.lax.GatherScatterMode.CLIP,
-            )  # (Vo, kz)
-            got = jnp.where(bev_ok[:, None] & z_ok, got, V)
-            cols.append(got)
-    # (Vo, ky*kx, kz) -> (kz, ky*kx, Vo) -> (K, Vo) in dz-major tap order
-    rules = jnp.stack(cols, axis=1)
-    rules = jnp.transpose(rules, (2, 1, 0)).reshape(kz * ky * kx, -1)
-    return rules.astype(jnp.int32)
+            colq = jnp.where(bev_ok, yi * W + xi, n_col)
+            m = in_table.meta[colq]  # (Vo, 4) one 16B fetch per BEV tap
+            w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
+            taps = []
+            for dz in range(kz):
+                zi = z0 + dz
+                ok = bev_ok & (zi >= 0) & (zi < D) & _test_bit(w0, w1, zi)
+                pos = start + _rank(w0, w1, zi)
+                taps.append(jnp.where(ok, pos, V))
+            per_bev.append(jnp.stack(taps, 0))  # (kz, Vo)
+    # (ky*kx, kz, Vo) -> (kz, ky*kx, Vo) -> (K, Vo)
+    pos_all = jnp.stack(per_bev, 0).transpose(1, 0, 2).reshape(
+        kz * ky * kx, -1
+    )
+    if use_positions:
+        return jnp.clip(pos_all, 0, V).astype(jnp.int32)
+    return in_table.rows[jnp.clip(pos_all, 0, V)].astype(jnp.int32)
 
 
-def build_subm_rules(table: VoxelTable, shape, kernel_size=3) -> jax.Array:
+def csr_reorder(table: VoxelTable, *arrays):
+    """Permute per-voxel arrays into CSR order (invalid slots -> zeros) and
+    return (coords_csr, valid_csr, *arrays_csr).
+
+    After reordering, rulebooks built with ``use_positions=True`` index the
+    arrays directly. Downsample outputs are already CSR-ordered."""
+    V = table.capacity
+    rows = table.rows[:-1]
+    valid_csr = rows != V
+    safe = jnp.clip(rows, 0, V - 1)
+    coords_csr = jnp.where(
+        valid_csr[:, None], table.coords[safe], 0
+    )
+    outs = []
+    for a in arrays:
+        mask = valid_csr.reshape((-1,) + (1,) * (a.ndim - 1))
+        outs.append(jnp.where(mask, a[safe], 0))
+    return (coords_csr, valid_csr, *outs)
+
+
+def build_subm_rules(table: VoxelTable, shape, kernel_size=3,
+                     use_positions: bool = False) -> jax.Array:
     """Submanifold rulebook: output sites == input sites, stride 1,
     padding (k-1)//2."""
     k = _as_triple(kernel_size)
     pad = tuple((x - 1) // 2 for x in k)
     return build_conv_rules(
-        table, shape, table.coords, table.valid, k, (1, 1, 1), pad
+        table, shape, table.coords, table.valid, k, (1, 1, 1), pad,
+        use_positions=use_positions,
     )
 
 
@@ -187,7 +267,7 @@ def apply_conv(
     bias: jax.Array | None = None,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
-    """Gather-GEMM-accumulate. Returns (V_out, C_out) masked by out_valid."""
+    """Gather-GEMM. Returns (V_out, C_out) masked by out_valid."""
     V_in, C_in = features.shape
     K, C_out = weights.shape[0], weights.shape[2]
     V_out = rules.shape[1]
@@ -195,8 +275,7 @@ def apply_conv(
         [features, jnp.zeros((1, C_in), features.dtype)], axis=0
     )
     # one fused gather in (site, tap) order -> (V_out, K*C_in), then a single
-    # wide MXU matmul with contraction K*C_in (vs 27 tiny latency-bound
-    # gathers + skinny matmuls)
+    # wide MXU matmul with contraction K*C_in
     g = fpad[rules.T.reshape(-1)].reshape(V_out, K * C_in)
     w = weights.reshape(K * C_in, C_out)
     acc = jnp.dot(
@@ -222,6 +301,26 @@ def conv_out_shape(in_shape, kernel_size, stride, padding):
     return out
 
 
+def _downsample_bits(bits0, bits1, D, Do, kz, sz, pz):
+    """z-bitmask of the strided conv's active outputs, per column (word
+    arithmetic only): out bit zo set iff any input z = zo*sz - pz + dz."""
+    o0 = jnp.zeros_like(bits0)
+    o1 = jnp.zeros_like(bits1)
+    for zo in range(Do):
+        hit = jnp.zeros_like(bits0)
+        for dz in range(kz):
+            zi = zo * sz - pz + dz
+            if zi < 0 or zi >= D:
+                continue
+            w = bits0 if zi < 32 else bits1
+            hit = hit | (jnp.right_shift(w, zi % 32) & 1)
+        if zo < 32:
+            o0 = o0 | jnp.left_shift(hit, zo)
+        else:
+            o1 = o1 | jnp.left_shift(hit, zo - 32)
+    return o0, o1
+
+
 def build_downsample(
     coords: jax.Array,
     valid: jax.Array,
@@ -231,53 +330,94 @@ def build_downsample(
     padding,
     out_capacity: int,
 ):
-    """Active output set of a strided sparse conv (sort-unique of candidates).
+    """Active output set of a strided sparse conv.
 
-    Returns (out_coords (Vo,3), out_valid (Vo,), overflow (scalar int32 count
-    of dropped sites)). Output slot order is key-sorted (deterministic).
+    Returns (out_coords (Vo,3), out_valid (Vo,), out_shape, overflow count).
+    Output order is CSR (column-major, z-minor) — deterministic.
+
+    No sort/scatter-dedupe: output z-bitmasks are word arithmetic on the
+    input bitmasks, the BEV union is ky*kx strided slices, CSR positions
+    come from popcount + cumsum, and the coordinate list is one scatter.
     """
-    k = _as_triple(kernel_size)
-    s = jnp.asarray(_as_triple(stride), jnp.int32)
-    p = jnp.asarray(_as_triple(padding), jnp.int32)
+    kz, ky, kx = _as_triple(kernel_size)
+    sz, sy, sx = _as_triple(stride)
+    pz, py, px = _as_triple(padding)
+    D, H, W = in_shape
     out_shape = conv_out_shape(in_shape, kernel_size, stride, padding)
     Do, Ho, Wo = out_shape
+    V = coords.shape[0]
 
-    cand = []
-    for off in kernel_offsets(k):
-        num = coords + p[None, :] - jnp.asarray(off, jnp.int32)[None, :]
-        j = num // s[None, :]
-        exact = jnp.all(j * s[None, :] == num, axis=1)
-        inb = (
-            valid & exact
-            & (j[:, 0] >= 0) & (j[:, 0] < Do)
-            & (j[:, 1] >= 0) & (j[:, 1] < Ho)
-            & (j[:, 2] >= 0) & (j[:, 2] < Wo)
-        )
-        cand.append(jnp.where(
-            inb, (j[:, 1] * Wo + j[:, 2]) * Do + j[:, 0], INT_MAX
-        ))
-    cand = jnp.concatenate(cand, axis=0)  # (K*V,) linear out keys
-    # dedupe without sorting: scatter-min the candidate index per key into a
-    # dense grid; a candidate is canonical iff it reads back its own index.
-    n_out = Do * Ho * Wo
-    M = cand.shape[0]
-    order = jnp.arange(M, dtype=jnp.int32)
-    cslot = jnp.where(cand == INT_MAX, n_out, cand)
-    grid = jnp.full((n_out + 1,), M, jnp.int32).at[cslot].min(
-        order, mode="drop"
+    in0, in1 = _column_bits(coords, valid, in_shape)
+    z0, z1 = _downsample_bits(in0[:-1], in1[:-1], D, Do, kz, sz, pz)
+    z0 = z0.reshape(H, W)
+    z1 = z1.reshape(H, W)
+
+    # BEV union over taps: out col (yo, xo) sees in col (yo*sy - py + dy, ..)
+    pad_y = (py, max(0, (Ho - 1) * sy + ky - py - H))
+    pad_x = (px, max(0, (Wo - 1) * sx + kx - px - W))
+    z0p = jnp.pad(z0, (pad_y, pad_x))
+    z1p = jnp.pad(z1, (pad_y, pad_x))
+    o0 = jnp.zeros((Ho, Wo), jnp.int32)
+    o1 = jnp.zeros((Ho, Wo), jnp.int32)
+    for dy in range(ky):
+        for dx in range(kx):
+            sl0 = jax.lax.slice(
+                z0p, (dy, dx),
+                (dy + (Ho - 1) * sy + 1, dx + (Wo - 1) * sx + 1),
+                (sy, sx),
+            )
+            sl1 = jax.lax.slice(
+                z1p, (dy, dx),
+                (dy + (Ho - 1) * sy + 1, dx + (Wo - 1) * sx + 1),
+                (sy, sx),
+            )
+            o0 = o0 | sl0
+            o1 = o1 | sl1
+
+    bits0 = jnp.concatenate([o0.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    bits1 = jnp.concatenate([o1.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    out_meta = _meta_from_bits(bits0, bits1)
+    total = out_meta[-2, 2] + out_meta[-2, 3]  # start + count of last col
+
+    # coordinate list: scatter each output cell's (z, y, x) at its CSR row.
+    # Enumerate via input voxels x candidate outputs (only ceil(k/s) output
+    # cells per dim can see a given input — 8 combos for k3/s2, not 27;
+    # duplicates write identical values).
+    ocoords = jnp.zeros((out_capacity + 1, 3), jnp.int32)
+    n_col_o = Ho * Wo
+    nbz = (kz + sz - 1) // sz
+    nby = (ky + sy - 1) // sy
+    nbx = (kx + sx - 1) // sx
+    for by in range(nby):
+        for bx in range(nbx):
+            yo = (coords[:, 1] + py) // sy - by
+            xo = (coords[:, 2] + px) // sx - bx
+            offy = coords[:, 1] + py - yo * sy
+            offx = coords[:, 2] + px - xo * sx
+            bev_ok = (
+                valid & (offy >= 0) & (offy < ky) & (offx >= 0) & (offx < kx)
+                & (yo >= 0) & (yo < Ho) & (xo >= 0) & (xo < Wo)
+            )
+            colq = jnp.where(bev_ok, yo * Wo + xo, n_col_o)
+            m = out_meta[colq]
+            w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
+            for bz in range(nbz):
+                zo = (coords[:, 0] + pz) // sz - bz
+                offz = coords[:, 0] + pz - zo * sz
+                ok = (
+                    bev_ok & (offz >= 0) & (offz < kz)
+                    & (zo >= 0) & (zo < Do)
+                )
+                row = start + _rank(w0, w1, zo)
+                row = jnp.where(ok & (row < out_capacity), row, out_capacity)
+                ocoords = ocoords.at[row].set(
+                    jnp.stack([zo, yo, xo], -1), mode="drop"
+                )
+    out_coords = ocoords[:-1]
+    out_valid = (
+        jnp.arange(out_capacity) < jnp.minimum(total, out_capacity)
     )
-    is_new = (grid[jnp.clip(cslot, 0, n_out)] == order) & (cand != INT_MAX)
-    slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_unique = jnp.sum(is_new.astype(jnp.int32))
-    tgt = jnp.where(is_new & (slot < out_capacity), slot, out_capacity)
-    out_keys = jnp.full((out_capacity,), INT_MAX, jnp.int32).at[tgt].set(
-        cand, mode="drop"
-    )
-    out_valid = out_keys != INT_MAX
-    zz = jnp.where(out_valid, out_keys % Do, 0)
-    rem = jnp.where(out_valid, out_keys // Do, 0)
-    out_coords = jnp.stack([zz, rem // Wo, rem % Wo], axis=-1).astype(jnp.int32)
-    overflow = jnp.maximum(n_unique - out_capacity, 0)
+    overflow = jnp.maximum(total - out_capacity, 0)
     return out_coords, out_valid, out_shape, overflow
 
 
