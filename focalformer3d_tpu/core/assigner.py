@@ -81,3 +81,28 @@ def apply_gt_center_limit(
     d = jnp.linalg.norm(bboxes[:, :2] - gt_bboxes[safe, :2], axis=-1)
     keep = (assigned_gt >= 0) & (d <= limit)
     return jnp.where(keep, assigned_gt, -1)
+
+
+def heuristic_assign_3d(
+    pred_centers: jax.Array,  # (Q, 2 or 3)
+    pred_labels: jax.Array,  # (Q,) int32
+    gt_centers: jax.Array,  # (G, 2 or 3)
+    gt_labels: jax.Array,  # (G,)
+    gt_valid: jax.Array,  # (G,)
+    dist_thresh: float = 10.0,
+) -> jax.Array:
+    """HeuristicAssigner3D (reference hungarian_assigner.py:49-89):
+    class-aware nearest-center matching — each prediction takes the closest
+    same-class GT within ``dist_thresh`` (cross-class distance is inflated).
+
+    Returns (Q,) int32 of assigned GT indices, -1 for unassigned.
+    """
+    d = jnp.linalg.norm(
+        pred_centers[:, None, :2] - gt_centers[None, :, :2], axis=-1
+    )
+    same = pred_labels[:, None] == gt_labels[None, :]
+    d = jnp.where(same, d, d + 1e5)
+    d = jnp.where(gt_valid[None, :], d, jnp.inf)
+    best = jnp.argmin(d, axis=1)
+    bestd = jnp.min(d, axis=1)
+    return jnp.where(bestd < dist_thresh, best, -1).astype(jnp.int32)

@@ -72,13 +72,14 @@ def load_points_multisweep(
     rng: Optional[np.random.RandomState] = None,
     test_mode: bool = False,
     remove_close: bool = True,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Key-frame points + up to sweeps_num accumulated sweeps, each mapped
     into the key lidar frame; dim 4 carries the time lag in seconds
-    (mmdet3d LoadPointsFromMultiSweeps semantics)."""
-    pts = load_points(info["lidar_path"], load_dim)
-    pts[:, 4] = 0.0
-    out = [pts]
+    (mmdet3d LoadPointsFromMultiSweeps semantics).
+
+    With ``use_native`` the file reads + rigid transforms + close filter run
+    in the multithreaded C++ loader (data/native); falls back to NumPy."""
     ts = info["timestamp"] / 1e6
     sweeps = info.get("sweeps", [])
     if len(sweeps) <= sweeps_num:
@@ -87,6 +88,36 @@ def load_points_multisweep(
         choices = np.arange(sweeps_num)
     else:
         choices = rng.choice(len(sweeps), sweeps_num, replace=False)
+
+    if use_native:
+        n = 1 + len(choices)
+        paths = [info["lidar_path"]] + [
+            sweeps[i]["data_path"] for i in choices
+        ]
+        rot = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        tr = np.zeros((n, 3), np.float32)
+        tl = np.zeros((n,), np.float32)
+        use_rt = np.zeros((n,), np.uint8)
+        rc = np.zeros((n,), np.uint8)
+        for j, i in enumerate(choices):
+            sw = sweeps[i]
+            rot[j + 1] = np.asarray(sw["sensor2lidar_rotation"], np.float32)
+            tr[j + 1] = np.asarray(sw["sensor2lidar_translation"],
+                                   np.float32)
+            tl[j + 1] = ts - sw["timestamp"] / 1e6
+            use_rt[j + 1] = 1
+            rc[j + 1] = 1 if remove_close else 0
+        from . import native
+
+        pts = native.load_sweeps_native(
+            paths, rot, tr, tl, use_rt, use_rt, rc, load_dim=load_dim,
+        )
+        if pts is not None:
+            return pts
+
+    pts = load_points(info["lidar_path"], load_dim)
+    pts[:, 4] = 0.0
+    out = [pts]
     for i in choices:
         sw = sweeps[i]
         p = load_points(sw["data_path"], load_dim)

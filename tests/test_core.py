@@ -290,3 +290,20 @@ class TestLosses:
         loss = losses.l1_loss(jnp.array([1.0, 2.0]), jnp.array([0.0, 0.0]),
                               weights=jnp.array([1.0, 0.0]), avg_factor=2.0)
         np.testing.assert_allclose(float(loss), 0.5)
+
+
+class TestHeuristicAssigner:
+    def test_class_aware_nearest(self):
+        import jax.numpy as jnp
+        from focalformer3d_tpu.core.assigner import heuristic_assign_3d
+
+        pred_c = jnp.asarray([[0.0, 0.0], [10.0, 0.0], [50.0, 50.0]])
+        pred_l = jnp.asarray([0, 1, 0], jnp.int32)
+        gt_c = jnp.asarray([[1.0, 0.0], [9.0, 0.0]])
+        gt_l = jnp.asarray([0, 1], jnp.int32)
+        gt_v = jnp.asarray([True, True])
+        out = np.asarray(
+            heuristic_assign_3d(pred_c, pred_l, gt_c, gt_l, gt_v)
+        )
+        # pred0 (cls0) -> gt0; pred1 (cls1) -> gt1; pred2 too far -> -1
+        np.testing.assert_array_equal(out, [0, 1, -1])

@@ -341,3 +341,43 @@ class TestResultFormatting:
         assert (tmp_path / "sub.json").exists()
         trk = tracking_from_detections(sub)
         assert trk["results"]["tok0"][0]["tracking_id"]
+
+
+class TestNativeLoader:
+    def test_native_matches_numpy(self, tmp_path):
+        from focalformer3d_tpu.data import native
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        pkl = _write_fake_nuscenes(tmp_path)
+        ds = nusc.NuScenesDataset(str(pkl), pipeline=None)
+        info = ds.infos[0]
+        a = nusc.load_points_multisweep(info, test_mode=True,
+                                        use_native=True)
+        b = nusc.load_points_multisweep(info, test_mode=True,
+                                        use_native=False)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_remove_close_applied(self, tmp_path):
+        from focalformer3d_tpu.data import native
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        # one sweep with points near origin
+        pts = np.zeros((10, 5), np.float32)
+        pts[:5, 0] = 0.5  # close in x and y=0 -> filtered
+        pts[5:, 0] = 20.0
+        p = tmp_path / "sweep.bin"
+        pts.tofile(p)
+        out = native.load_sweeps_native(
+            [str(p)],
+            np.eye(3, dtype=np.float32)[None],
+            np.zeros((1, 3), np.float32),
+            np.asarray([0.25], np.float32),
+            np.asarray([1], np.uint8), np.asarray([1], np.uint8),
+            np.asarray([1], np.uint8),
+        )
+        assert out.shape[0] == 5
+        assert (out[:, 0] == 20.0).all()
+        assert (out[:, 4] == 0.25).all()
