@@ -43,6 +43,7 @@ class FocalDecoderConfig:
     inner_layers: int = 3  # deformable layers per round
     num_heads: int = 8
     nms_kernel_size: int = 3
+    mask_heatmap_mode: str = "poscls"  # 'poscls' | 'pos'
     multistage_heatmap: int = 1
     reuse_first_heatmap: bool = True
     extra_feat: bool = True
@@ -227,12 +228,25 @@ class FocalDecoder(nn.Module):
             q_score.append(qs)
             q_labels.append(top_cls)
 
-            # 'poscls' accumulative masking
-            sel = jnp.zeros((B, ncls * HW), lidar_feat.dtype)
-            sel = jax.vmap(
-                lambda s, idx: s.at[idx].set(1.0)
-            )(sel, top_i)
-            sel = sel.reshape(B, ncls, H, W).transpose(0, 2, 3, 1)
+            # accumulative masking (reference focal_decoder.py:724-782):
+            # 'poscls' suppresses the selected (class, position) cells;
+            # 'pos' suppresses the positions across ALL classes. ('boxcls'
+            # additionally paints predicted-box interiors; it requires the
+            # per-stage heatmap_box head that no shipped config enables.)
+            if cfg.mask_heatmap_mode == "pos":
+                selp = jnp.zeros((B, HW), lidar_feat.dtype)
+                selp = jax.vmap(lambda s, idx: s.at[idx].set(1.0))(
+                    selp, top_p
+                )
+                sel = jnp.broadcast_to(
+                    selp.reshape(B, H, W, 1), (B, H, W, ncls)
+                )
+            else:  # 'poscls'
+                sel = jnp.zeros((B, ncls * HW), lidar_feat.dtype)
+                sel = jax.vmap(
+                    lambda s, idx: s.at[idx].set(1.0)
+                )(sel, top_i)
+                sel = sel.reshape(B, ncls, H, W).transpose(0, 2, 3, 1)
             acc_mask = acc_mask * (
                 1.0 - _dilate_mask(sel, cfg.nms_kernel_size,
                                    cfg.kernel1_classes)
