@@ -134,7 +134,8 @@ class _HeatmapHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.hidden, 3, use_bias=True)(x, train)
+        # reference ConvModule bias='auto' + BN -> conv carries no bias
+        x = ConvBN(self.hidden, 3)(x, train)
         return nn.Conv(self.num_classes, (3, 3), use_bias=True)(x)
 
 
@@ -329,11 +330,11 @@ class FocalDecoder(nn.Module):
         levels = [pyramid_src]
         if cfg.multiscale:
             levels.append(
-                ConvBN(cfg.hidden, 3, strides=2, use_bias=True,
+                ConvBN(cfg.hidden, 3, strides=2,
                        name="dconv")(levels[-1], train)
             )
             levels.append(
-                ConvBN(cfg.hidden, 3, strides=2, use_bias=True,
+                ConvBN(cfg.hidden, 3, strides=2,
                        name="dconv2")(levels[-1], train)
             )
         level_pos = [_bev_pos(H, W)]

@@ -33,17 +33,20 @@ from .lss import LiftSplatShoot, LSSConfig
 
 
 class LocalContextBlock(nn.Module):
-    """LocalContextAttentionBlock (encoder_utils.py:109-163): 1x1 q/k/v
-    projections + k x k window attention."""
+    """LocalContextAttentionBlock (encoder_utils.py:109-163): two-layer
+    1x1 ConvBNReLU query/key projections, one-layer value projection, then
+    k x k window attention."""
 
     features: int
     kernel_size: int = 9
 
     @nn.compact
     def __call__(self, query_map, key_map, train: bool = False):
-        q = nn.Conv(self.features, (1, 1), name="q_proj")(query_map)
-        k = nn.Conv(self.features, (1, 1), name="k_proj")(key_map)
-        v = nn.Conv(self.features, (1, 1), name="v_proj")(key_map)
+        q = ConvBN(self.features, 1, name="q_proj0")(query_map, train)
+        q = ConvBN(self.features, 1, name="q_proj1")(q, train)
+        k = ConvBN(self.features, 1, name="k_proj0")(key_map, train)
+        k = ConvBN(self.features, 1, name="k_proj1")(k, train)
+        v = ConvBN(self.features, 1, name="v_proj")(key_map, train)
         out = jax.vmap(
             lambda qq, kk, vv: local_attention(qq, kk, vv, self.kernel_size)
         )(q, k, v)

@@ -176,7 +176,8 @@ class PredictionFFN(nn.Module):
         for name, (classes, num_conv) in self.heads.items():
             y = x
             for i in range(num_conv - 1):
-                y = nn.Dense(self.head_conv, use_bias=True,
+                # bias='auto' + BN1d in the reference ConvModule -> no bias
+                y = nn.Dense(self.head_conv, use_bias=False,
                              name=f"{name}_fc{i}")(y)
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"{name}_bn{i}"
