@@ -1,0 +1,500 @@
+"""Pallas TPU sparse-conv apply: windowed one-hot MXU gather.
+
+Why: XLA's row gather on TPU is rate-bound at ~150-400 Mrows/s regardless
+of row width (see tools/micro_gather*.py), which makes the rulebook
+gather-GEMM formulation of ops/sparse_conv.py cost a near-constant
+~6-9 ms per conv (~170 ms for the encoder's 17 convs). This module
+reformulates the gather so it runs on the MXU instead.
+
+Features are CSR-ordered (column-major over BEV, z-minor — see
+ops/sparse_conv.py), so a tile of T consecutive output sites reads, for
+each of the 3 ``dy`` bands of a k=3 kernel, positions inside a narrow,
+nearly monotone window of the input table. The table is packed
+``p = 128/C`` rows per physical row — (Vp/p, 128) lanes — and kept in
+VMEM; per (tile, band) a window of W/p packed rows is sliced at an
+aligned, data-dependent start (scalar-prefetched). Selection then runs
+at full lane width with one batched matmul per band:
+
+    oh1  = (rel // p == iota_{W/p})       # (9T, W/p) block one-hot
+    gath = oh1 @ win                      # (9T, W/p) @ (W/p, 128)  MXU
+    gath *= (lane // C == rel % p)        # full-lane sub-row mask   VPU
+    mbuf = concat_lanes(gath per tap)     # (T, 9*128)
+    out += mbuf @ Wbig[band]              # Wbig = taps' W tiled p times
+
+Taps are re-ordered band-major (``plan.perm``) so each band is a
+contiguous row block. Rules that fall outside their tile window (rare:
+dense walls crossing a sparse band) spill into a fixed-capacity
+overflow list applied as an XLA gather + scatter-add correction, so the
+op stays exact.
+
+The tile plan (window starts, window-relative rules, overflow list) is
+built once per voxel-set per level and shared by every conv on that set,
+like the rulebooks themselves. Backward uses a transposed rulebook
+(every (tap, out) rule seen from its input site) so dx is one more
+kernel call, and dW = gathered^T @ dout via a gather-mode pass.
+
+Reference semantics: spconv submanifold / strided sparse conv
+(/root/reference/projects/configs/focalformer3d/FocalFormer3D_L.py:198-206);
+numerics parity-tested against ops/sparse_conv.apply_conv
+(tests/test_sparse_pallas.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+_ALIGN = 64  # start alignment: start//p stays a sublane multiple for p<=8
+_LANES = 128
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def tap_groups(kernel_size) -> Tuple[int, ...]:
+    """Group id (the dy band) per tap in kernel_offsets (dz,dy,dx) order."""
+    if isinstance(kernel_size, int):
+        kz = ky = kx = kernel_size
+    else:
+        kz, ky, kx = kernel_size
+    return tuple(
+        dy for dz in range(kz) for dy in range(ky) for dx in range(kx)
+    )
+
+
+def _group_perm(kernel_size) -> Tuple[Tuple[int, ...], int]:
+    """Band-major tap permutation; perm[t'] = original tap index."""
+    groups = tap_groups(kernel_size)
+    n_groups = max(groups) + 1
+    perm = tuple(sorted(range(len(groups)),
+                        key=lambda k: (groups[k], k)))
+    if len(groups) % n_groups:  # pragma: no cover - geometry invariant
+        raise ValueError("taps do not split evenly across bands")
+    return perm, n_groups
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """Window-relative rulebook for one conv geometry on one voxel set."""
+
+    rel: jax.Array  # (n_tiles, T, K) int32 in [0, W]; W = miss. Band-major
+    # taps on the minor (lane) axis so per-tap extracts broadcast along
+    # lanes without relayout.
+    starts: jax.Array  # (n_tiles * G,) int32 row starts, 64-aligned
+    ov_pos: jax.Array  # (M,) int32 input positions of overflow rules
+    ov_out: jax.Array  # (M,) int32 output sites (n_tiles * T = drop)
+    ov_tap: jax.Array  # (M,) int32 tap index (original order)
+    n_overflow: jax.Array  # () int32 true overflow count (may exceed M)
+    v_out: int  # true number of output sites (<= n_tiles * T)
+    window: int
+    n_groups: int
+    perm: Tuple[int, ...]  # band-major tap permutation
+
+    @property
+    def tile(self) -> int:
+        return self.rel.shape[1]
+
+
+jax.tree_util.register_pytree_node(
+    TilePlan,
+    lambda p: (
+        (p.rel, p.starts, p.ov_pos, p.ov_out, p.ov_tap, p.n_overflow),
+        (p.v_out, p.window, p.n_groups, p.perm),
+    ),
+    lambda aux, c: TilePlan(*c, *aux),
+)
+
+
+def _padded_rows(capacity: int) -> int:
+    """Feature-table rows incl. the zero pad row, rounded for packing."""
+    return -(-(capacity + 1) // _ALIGN) * _ALIGN
+
+
+def build_tile_plan(
+    rules: jax.Array,  # (K, V_out) int32 CSR positions, V_in_cap = miss
+    in_capacity: int,
+    kernel_size=3,
+    tile: int = 256,
+    window: int = 1024,
+    overflow_capacity: int = 8192,
+) -> TilePlan:
+    """Per-tile band windows + window-relative rules (+ overflow spill)."""
+    if window % _ALIGN:  # pragma: no cover - config error
+        raise ValueError(f"window {window} must be a multiple of {_ALIGN}")
+    K, v_out = rules.shape
+    groups = tap_groups(kernel_size)
+    perm, n_groups = _group_perm(kernel_size)
+    n_tiles = -(-v_out // tile)
+    pad = n_tiles * tile - v_out
+    vp = _padded_rows(in_capacity)
+    if vp < window:  # pragma: no cover - config error
+        raise ValueError(f"capacity {in_capacity} < window {window}")
+
+    pos = jnp.pad(rules, ((0, 0), (0, pad)), constant_values=in_capacity)
+    pos = pos.reshape(K, n_tiles, tile)
+    valid = pos < in_capacity
+
+    starts = []
+    for g in range(n_groups):
+        taps = tuple(k for k in range(K) if groups[k] == g)
+        p = jnp.where(valid[taps, :], pos[taps, :], INT_MAX)
+        lo = jnp.min(p, axis=(0, 2))  # (n_tiles,)
+        lo = jnp.where(lo == INT_MAX, 0, lo)
+        lo = jnp.minimum(lo, vp - window) & ~(_ALIGN - 1)
+        starts.append(lo.astype(jnp.int32))
+    starts_kt = jnp.stack(
+        [starts[groups[k]] for k in range(K)], axis=0
+    )  # (K, n_tiles)
+
+    rel = pos - starts_kt[:, :, None]
+    in_win = valid & (rel >= 0) & (rel < window)
+    relf = jnp.where(in_win, rel, window).astype(jnp.int32)
+
+    overflow = (valid & ~in_win).reshape(-1)
+    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
+    (ov_idx,) = jnp.nonzero(
+        overflow, size=overflow_capacity, fill_value=overflow.shape[0]
+    )
+    flat_kt = pos.reshape(K, -1)  # (K, n_tiles*tile)
+    ktv = flat_kt.shape[1]
+    ov_k = (ov_idx // ktv).astype(jnp.int32)
+    ov_j = (ov_idx % ktv).astype(jnp.int32)
+    oob = ov_idx >= overflow.shape[0]
+    ov_pos = jnp.where(
+        oob, in_capacity, flat_kt[jnp.clip(ov_k, 0, K - 1), ov_j]
+    ).astype(jnp.int32)
+    ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
+
+    return TilePlan(
+        rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
+        starts=jnp.stack(starts, axis=-1).reshape(-1),
+        ov_pos=ov_pos,
+        ov_out=ov_out,
+        ov_tap=ov_k,
+        n_overflow=n_overflow,
+        v_out=v_out,
+        window=window,
+        n_groups=n_groups,
+        perm=perm,
+    )
+
+
+def transpose_rules(
+    rules: jax.Array, in_capacity: int, kernel_size=3
+) -> jax.Array:
+    """Transposed rulebook: (K, V_in) mapping input sites to the output
+    site they feed through the mirrored tap (at most one per tap, since
+    the conv geometry is a function of the output site).
+
+    rules_T[K-1-k, rules[k, j]] = j; misses stay at V_out sentinel.
+    Used for dx: dx = apply(dout, plan(rules_T), transpose(flip(W))).
+    """
+    K, v_out = rules.shape
+    rt = jnp.full((K, in_capacity + 1), v_out, jnp.int32)
+    j = jnp.broadcast_to(
+        jnp.arange(v_out, dtype=jnp.int32)[None, :], (K, v_out)
+    )
+    safe = jnp.minimum(rules, in_capacity)
+    rt = rt.at[K - 1 - jnp.arange(K)[:, None], safe].set(j, mode="drop")
+    return rt[:, :in_capacity]
+
+
+def _pack_factor(c: int) -> int:
+    if _LANES % c == 0:
+        return _LANES // c
+    if c % _LANES == 0:
+        return 1
+    raise ValueError(f"channel count {c} must divide or be a multiple "
+                     f"of {_LANES}")  # pragma: no cover
+
+
+def _pad_c(a: jax.Array, axis: int) -> jax.Array:
+    """Pad a channel axis so it divides (or is a multiple of) 128."""
+    c = a.shape[axis]
+    cp = 16
+    while cp < c:
+        cp *= 2
+    cp = max(cp, -(-c // _LANES) * _LANES if c > _LANES else cp)
+    if cp == c:
+        return a
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (0, cp - c)
+    return jnp.pad(a, pads)
+
+
+def _pack_table(features: jax.Array, capacity: int) -> jax.Array:
+    """(V, C) -> (Vp/p, p*C) with zero padding."""
+    vp = _padded_rows(capacity)
+    c = features.shape[1]
+    p = _pack_factor(c)
+    xp = jnp.pad(features, ((0, vp - features.shape[0]), (0, 0)))
+    return xp.reshape(vp // p, p * c)
+
+
+def _kernel(
+    starts_ref,  # SMEM (n_tiles * G,) int32 row starts (64-aligned)
+    x_ref,  # VMEM (Vp/p, p*C) packed table
+    rel_ref,  # VMEM (1, T, K) int32, band-major tap order on lanes
+    wbig_ref,  # VMEM (G, tpg*CL, Cout) band-tiled weights
+    out_ref,  # VMEM (T, N_out)
+    oh_ref,  # scratch VMEM (tpg*T, WB) bf16
+    mb_ref,  # scratch VMEM (T, tpg*CL) bf16
+    *,
+    n_groups: int,
+    pack: int,
+    window: int,
+    gather_mode: bool,
+):
+    i = pl.program_id(0)
+    G = n_groups
+    rel = rel_ref[0]  # (T, K)
+    T, K = rel.shape
+    tpg = K // G
+    cl = x_ref.shape[1]  # p * C
+    c = cl // pack
+    wb = window // pack
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+
+    acc = None
+    for g in range(G):
+        for j in range(tpg):
+            r = rel[:, g * tpg + j][:, None]  # (T, 1)
+            oh_ref[j * T:(j + 1) * T, :] = (
+                r // pack == iota_w
+            ).astype(jnp.bfloat16)
+        start = pl.multiple_of(starts_ref[i * G + g], _ALIGN)
+        win = x_ref[
+            pl.ds(pl.multiple_of(start // pack, 8), wb), :
+        ].astype(jnp.bfloat16)  # (wb, cl)
+        gath = jnp.dot(
+            oh_ref[:, :], win, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)  # (tpg*T, cl)
+        # fused sub-row mask + lane-concat into mb_ref
+        for j in range(tpg):
+            piece = gath[j * T:(j + 1) * T, :]
+            if pack > 1:
+                r = rel[:, g * tpg + j][:, None]
+                piece = piece * (
+                    lane_blk == (r % pack)
+                ).astype(jnp.bfloat16)
+            if gather_mode:
+                t0 = (g * tpg + j) * cl
+                out_ref[:, t0:t0 + cl] = piece.astype(out_ref.dtype)
+            else:
+                mb_ref[:, j * cl:(j + 1) * cl] = piece
+        if not gather_mode:
+            part = jnp.dot(
+                mb_ref[:, :], wbig_ref[g],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    if not gather_mode:
+        out_ref[:, :] = acc.astype(out_ref.dtype)
+
+
+def _run_kernel(
+    features: jax.Array,  # (V_in_cap, C) CSR-ordered, C lane-compatible
+    plan: TilePlan,
+    weights: jax.Array,  # (K, C, Cout) original tap order
+    in_capacity: int,
+    gather_mode: bool,
+    out_dtype,
+    interpret: bool | None = None,
+):
+    K, C, cout = weights.shape
+    T = plan.tile
+    n_tiles = plan.rel.shape[0]
+    G = plan.n_groups
+    tpg = K // G
+    pack = _pack_factor(C)
+    cl = pack * C
+    xp = _pack_table(features, in_capacity)
+    n_out = K * cl if gather_mode else cout
+    if interpret is None:
+        interpret = _interpret_default()
+
+    # band-tiled weights: Wbig[g][j*cl + b*C + c, o] = W[perm[g*tpg+j]][c, o]
+    wperm = weights[jnp.asarray(plan.perm)]  # (K, C, Cout)
+    wbig = jnp.tile(wperm.astype(jnp.bfloat16), (1, pack, 1)).reshape(
+        G, tpg * cl, cout
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, T, K), lambda i, s: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, n_out), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tpg * T, plan.window // pack), jnp.bfloat16),
+            pltpu.VMEM((T, tpg * cl), jnp.bfloat16),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_groups=G,
+            pack=pack,
+            window=plan.window,
+            gather_mode=gather_mode,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * T, n_out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(plan.starts, xp, plan.rel, wbig)
+    return out
+
+
+def _apply_overflow(out, features, weights, plan, in_capacity):
+    """Exact correction for rules that missed their tile window."""
+    K, C, cout = weights.shape
+    xp = jnp.concatenate(
+        [features[:in_capacity],
+         jnp.zeros((1, C), features.dtype)], axis=0
+    )
+    xg = xp[jnp.minimum(plan.ov_pos, in_capacity)]  # (M, C)
+    contrib = jnp.zeros((xg.shape[0], cout), jnp.float32)
+    for k in range(K):
+        m = (plan.ov_tap == k)[:, None]
+        contrib = contrib + jnp.where(
+            m,
+            jnp.dot(
+                xg.astype(jnp.float32), weights[k].astype(jnp.float32)
+            ),
+            0.0,
+        )
+    return out.at[plan.ov_out].add(
+        contrib.astype(out.dtype), mode="drop"
+    )
+
+
+def _float0_like(tree):
+    return jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), tree
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_core(interpret, in_capacity, x, w, plan, plan_t):
+    out = _run_kernel(
+        x, plan, w, in_capacity, False, jnp.float32, interpret
+    )
+    out = _apply_overflow(out, x, w, plan, in_capacity)
+    return out[: plan.v_out]
+
+
+def _conv_core_fwd(interpret, in_capacity, x, w, plan, plan_t):
+    out = _conv_core(interpret, in_capacity, x, w, plan, plan_t)
+    return out, (x, w, plan, plan_t)
+
+
+def _conv_core_bwd(interpret, in_capacity, res, g):
+    x, w, plan, plan_t = res
+    v_out = plan.v_out
+    gb = _pad_c(g.astype(jnp.bfloat16), 1)
+    # dx: transposed conv (flipped taps, transposed channel matrices).
+    # plan_t covers the same rule set seen from the input sites, and its
+    # own overflow correction makes dx exact.
+    w_t = _pad_c(jnp.transpose(w[::-1], (0, 2, 1)), 1)  # (K, Cout_p, C)
+    dx = _run_kernel(
+        gb, plan_t, w_t, v_out, False, jnp.float32, interpret
+    )
+    dx = _apply_overflow(dx, gb, w_t, plan_t, v_out)
+    dx = dx[:in_capacity]
+    # dw = gathered^T @ g; gather-mode output is band-major with each
+    # tap's block p-expanded, so reduce the p copies and unpermute.
+    gath = _run_kernel(
+        x, plan, w, in_capacity, True, jnp.bfloat16, interpret
+    )[:v_out]
+    gf = g.astype(jnp.float32)
+    K, C, cout = w.shape
+    pack = _pack_factor(C)
+    dwp = jnp.dot(
+        gath.astype(jnp.float32).T, gf, preferred_element_type=jnp.float32
+    ).reshape(K, pack, C, cout).sum(axis=1)  # band-major taps
+    inv = np.argsort(np.asarray(plan.perm))
+    dw = dwp[jnp.asarray(inv)]
+    # gather-mode drops overflow rules; add their dw contributions.
+    xp = jnp.concatenate(
+        [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0
+    )
+    ov_x = xp[jnp.minimum(plan.ov_pos, in_capacity)].astype(jnp.float32)
+    gpad = jnp.concatenate(
+        [gf, jnp.zeros((1, gf.shape[1]), gf.dtype)], axis=0
+    )
+    ov_g = gpad[jnp.minimum(plan.ov_out, v_out)]
+    live = (plan.ov_pos < in_capacity)[:, None]
+    for k in range(K):
+        m = (plan.ov_tap == k)[:, None] & live
+        dw = dw.at[k].add(
+            jnp.dot(
+                jnp.where(m, ov_x, 0.0).T, ov_g,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return (
+        dx.astype(x.dtype),
+        dw.astype(w.dtype),
+        _float0_like(plan),
+        _float0_like(plan_t),
+    )
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
+def apply_conv_pallas(
+    features: jax.Array,  # (V_in, C) CSR-ordered
+    plan: TilePlan,
+    plan_t: TilePlan,  # plan of the transposed rulebook (for dx)
+    weights: jax.Array,  # (K, C, Cout) kernel_offsets order
+    out_valid: jax.Array,  # (V_out,)
+    bias: jax.Array | None = None,
+    kernel_size=3,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Sparse conv apply, differentiable (custom VJP). Returns (V_out, Cout).
+
+    Numerically equivalent (at bf16 MXU precision) to
+    ops/sparse_conv.apply_conv(features, rules, weights, out_valid)
+    on rulebooks with use_positions=True over CSR-ordered features.
+    ``kernel_size`` is carried by the plans (via their tap permutation);
+    the argument is accepted for call-site clarity only.
+    """
+    del kernel_size
+    if interpret is None:
+        interpret = _interpret_default()
+    if out_dtype is None:
+        out_dtype = features.dtype
+    features = _pad_c(features, 1)
+    weights = _pad_c(weights, 1)
+    in_capacity = features.shape[0]
+    out = _conv_core(
+        bool(interpret), in_capacity, features, weights, plan, plan_t
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :]
+    out = jnp.where(out_valid[:, None], out, 0.0)
+    return out.astype(out_dtype)

@@ -1,0 +1,195 @@
+"""Parity tests: Pallas windowed sparse-conv apply vs ops/sparse_conv.
+
+Runs in interpret mode on the CPU test backend. Inputs are
+bf16-representable so the bf16 MXU path is exact and comparisons can be
+tight.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focalformer3d_tpu.ops import sparse_conv as sc
+from focalformer3d_tpu.ops import sparse_conv_pallas as scp
+
+
+def _bf16_vals(rng, shape, scale=1.0):
+    v = rng.randint(-8, 9, size=shape).astype(np.float32) * scale
+    return jnp.asarray(v)
+
+
+def _voxel_set(rng, shape, n, capacity):
+    D, H, W = shape
+    keys = rng.choice(D * H * W, size=n, replace=False)
+    z, yx = keys // (H * W), keys % (H * W)
+    coords = np.stack([z, yx // W, yx % W], -1).astype(np.int32)
+    coords = np.pad(coords, ((0, capacity - n), (0, 0)))
+    valid = np.arange(capacity) < n
+    return jnp.asarray(coords), jnp.asarray(valid)
+
+
+def _csr_setup(rng, shape=(8, 16, 16), n=60, capacity=96, cin=8):
+    coords, valid = _voxel_set(rng, shape, n, capacity)
+    feats = _bf16_vals(rng, (capacity, cin), 0.25)
+    feats = jnp.where(valid[:, None], feats, 0.0)
+    table0 = sc.build_table(coords, valid, shape)
+    coords, valid, feats = sc.csr_reorder(table0, feats)
+    table = sc.build_table(coords, valid, shape)
+    return table, coords, valid, feats, shape
+
+
+@pytest.mark.parametrize("window,overflow_cap", [(128, 64), (64, 4096)])
+def test_subm_parity(window, overflow_cap):
+    rng = np.random.RandomState(0)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    rules = sc.build_subm_rules(table, shape, 3, use_positions=True)
+    w = _bf16_vals(rng, (27, feats.shape[1], 12), 1 / 16)
+
+    ref = sc.apply_conv(feats, rules, w, valid)
+
+    plan = scp.build_tile_plan(
+        rules, V, 3, tile=16, window=window,
+        overflow_capacity=overflow_cap,
+    )
+    assert int(plan.n_overflow) <= overflow_cap
+    rules_t = scp.transpose_rules(rules, V, 3)
+    plan_t = scp.build_tile_plan(
+        rules_t, V, 3, tile=16, window=window,
+        overflow_capacity=overflow_cap,
+    )
+    out = scp.apply_conv_pallas(
+        feats, plan, plan_t, w, valid, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_subm_grads():
+    rng = np.random.RandomState(1)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    rules = sc.build_subm_rules(table, shape, 3, use_positions=True)
+    w = _bf16_vals(rng, (27, feats.shape[1], 12), 1 / 16)
+    r = _bf16_vals(rng, (V, 12), 0.5)
+
+    plan = scp.build_tile_plan(rules, V, 3, tile=16, window=64,
+                               overflow_capacity=4096)
+    rules_t = scp.transpose_rules(rules, V, 3)
+    plan_t = scp.build_tile_plan(rules_t, V, 3, tile=16, window=64,
+                                 overflow_capacity=4096)
+
+    def loss_ref(f, ww):
+        return jnp.sum(sc.apply_conv(f, rules, ww, valid) * r)
+
+    def loss_pal(f, ww):
+        return jnp.sum(
+            scp.apply_conv_pallas(f, plan, plan_t, ww, valid,
+                                  interpret=True) * r
+        )
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gx_p, gw_p = jax.grad(loss_pal, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("ks,stride,pad", [
+    (3, 2, (1, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+])
+def test_down_parity(ks, stride, pad):
+    rng = np.random.RandomState(2)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    cap_out = 64
+    out_coords, out_valid, out_shape, _ = sc.build_downsample(
+        coords, valid, shape, ks, stride, pad, cap_out
+    )
+    rules = sc.build_conv_rules(
+        table, shape, out_coords, out_valid, ks, stride, pad,
+        use_positions=True,
+    )
+    K = rules.shape[0]
+    w = _bf16_vals(rng, (K, feats.shape[1], 12), 1 / 16)
+    ref = sc.apply_conv(feats, rules, w, out_valid)
+
+    plan = scp.build_tile_plan(rules, V, ks, tile=16, window=64,
+                               overflow_capacity=4096)
+    rules_t = scp.transpose_rules(rules, V, ks)
+    plan_t = scp.build_tile_plan(rules_t, cap_out, ks, tile=16, window=64,
+                                 overflow_capacity=4096)
+    out = scp.apply_conv_pallas(
+        feats, plan, plan_t, w, out_valid, kernel_size=ks, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # grads too
+    r = _bf16_vals(rng, (cap_out, 12), 0.5)
+
+    def loss_ref(f, ww):
+        return jnp.sum(sc.apply_conv(f, rules, ww, out_valid) * r)
+
+    def loss_pal(f, ww):
+        return jnp.sum(
+            scp.apply_conv_pallas(f, plan, plan_t, ww, out_valid,
+                                  kernel_size=ks, interpret=True) * r
+        )
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gx_p, gw_p = jax.grad(loss_pal, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               atol=1e-4)
+
+
+def test_transpose_rules_roundtrip():
+    rng = np.random.RandomState(3)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    rules = np.asarray(sc.build_subm_rules(table, shape, 3,
+                                           use_positions=True))
+    rt = np.asarray(scp.transpose_rules(jnp.asarray(rules), V, 3))
+    # every rule (k, j) -> i appears as (26-k, i) -> j and vice versa
+    K, Vo = rules.shape
+    fwd = {(k, j, rules[k, j]) for k in range(K) for j in range(Vo)
+           if rules[k, j] < V}
+    bwd = {(26 - k, rt[k, i], i) for k in range(K) for i in range(V)
+           if rt[k, i] < Vo}
+    assert fwd == bwd
+
+
+def test_overflow_spill_exact():
+    """Adversarial layout: a dense neighbor band overflows the window and
+    must be recovered exactly by the correction path."""
+    rng = np.random.RandomState(4)
+    D, H, W = 16, 4, 32
+    shape = (D, H, W)
+    coords = [(0, 0, 0), (0, 0, 31)]
+    for x in range(W):
+        for z in range(3):
+            coords.append((z + 1, 1, x))
+    n = len(coords)
+    cap = 128
+    coords = np.pad(np.asarray(coords, np.int32), ((0, cap - n), (0, 0)))
+    valid = np.arange(cap) < n
+    coords, valid = jnp.asarray(coords), jnp.asarray(valid)
+    feats = _bf16_vals(rng, (cap, 16), 0.25)
+    feats = jnp.where(valid[:, None], feats, 0.0)
+    table0 = sc.build_table(coords, valid, shape)
+    coords, valid, feats = sc.csr_reorder(table0, feats)
+    table = sc.build_table(coords, valid, shape)
+    rules = sc.build_subm_rules(table, shape, 3, use_positions=True)
+    w = _bf16_vals(rng, (27, 16, 8), 1 / 16)
+    ref = sc.apply_conv(feats, rules, w, valid)
+    plan = scp.build_tile_plan(rules, cap, 3, tile=64, window=64,
+                               overflow_capacity=4096)
+    assert int(plan.n_overflow) > 0
+    rules_t = scp.transpose_rules(rules, cap, 3)
+    plan_t = scp.build_tile_plan(rules_t, cap, 3, tile=64, window=64,
+                                 overflow_capacity=4096)
+    out = scp.apply_conv_pallas(feats, plan, plan_t, w, valid,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
