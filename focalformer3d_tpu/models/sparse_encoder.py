@@ -36,7 +36,20 @@ from flax import linen as nn
 
 from ..ops import pillar_conv as pc
 from ..ops import sparse_conv as sc
+from ..ops import sparse_conv_pallas as scp
 from .layers import MaskedBatchNorm
+
+
+def _batched_pallas_conv(feats, plans, plans_t, w, valid, kernel_size=3):
+    """Per-sample pallas conv over a batched voxel table (B static)."""
+    outs = []
+    for b in range(feats.shape[0]):
+        pb = jax.tree.map(lambda a: a[b], plans)
+        ptb = jax.tree.map(lambda a: a[b], plans_t)
+        outs.append(scp.apply_conv_pallas(
+            feats[b], pb, ptb, w, valid[b], kernel_size=kernel_size,
+        ))
+    return jnp.stack(outs)
 
 
 def _conv_param(module, name, k, cin, cout):
@@ -67,12 +80,16 @@ class _SubMConvBN(nn.Module):
     act: bool = True
 
     @nn.compact
-    def __call__(self, feats, rules, valid, train: bool = False):
-        K = rules.shape[1]
+    def __call__(self, feats, rules, valid, train: bool = False,
+                 plans=None):
+        K = rules.shape[1] if plans is None else 27
         w = _conv_param(self, "w", K, feats.shape[-1], self.features)
-        y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
-            feats, rules, w, valid
-        )
+        if plans is None:
+            y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
+                feats, rules, w, valid
+            )
+        else:
+            y = _batched_pallas_conv(feats, plans[0], plans[1], w, valid)
         y = MaskedBatchNorm()(y, valid, train)
         y = jnp.where(valid[..., None], y, 0.0)
         return nn.relu(y) if self.act else y
@@ -82,27 +99,36 @@ class _SparseBasicBlock(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, feats, rules, valid, train: bool = False):
+    def __call__(self, feats, rules, valid, train: bool = False,
+                 plans=None):
         identity = feats
         y = _SubMConvBN(self.features, act=True, name="conv0")(
-            feats, rules, valid, train
+            feats, rules, valid, train, plans
         )
         y = _SubMConvBN(self.features, act=False, name="conv1")(
-            y, rules, valid, train
+            y, rules, valid, train, plans
         )
         return jnp.where(valid[..., None], nn.relu(y + identity), 0.0)
 
 
 class _DownConvBN(nn.Module):
     features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
 
     @nn.compact
-    def __call__(self, feats, rules, out_valid, train: bool = False):
-        K = rules.shape[1]
+    def __call__(self, feats, rules, out_valid, train: bool = False,
+                 plans=None):
+        ks = self.kernel_size
+        K = ks[0] * ks[1] * ks[2]
         w = _conv_param(self, "w", K, feats.shape[-1], self.features)
-        y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
-            feats, rules, w, out_valid
-        )
+        if plans is None:
+            y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
+                feats, rules, w, out_valid
+            )
+        else:
+            y = _batched_pallas_conv(
+                feats, plans[0], plans[1], w, out_valid, kernel_size=ks
+            )
         y = MaskedBatchNorm()(y, out_valid, train)
         y = jnp.where(out_valid[..., None], y, 0.0)
         return nn.relu(y)
@@ -177,7 +203,10 @@ class SparseEncoder(nn.Module):
     # fixed voxel-table / pillar-set capacities per resolution level
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
-    engine: str = "voxel"  # 'voxel' | 'pillar'
+    engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas'
+    plan_tile: int = 256
+    plan_window: int = 512
+    plan_overflow: int = 8192
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -263,6 +292,26 @@ class SparseEncoder(nn.Module):
     def _voxel_forward(self, features, coords, valid, train):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
+        pallas = self.engine == "pallas"
+
+        def make_plans(rules, in_cap, out_cap, ks):
+            """Batched tile plans (+ transposed) for one conv geometry."""
+            win = min(self.plan_window, scp._padded_rows(in_cap))
+            win_t = min(self.plan_window, scp._padded_rows(out_cap))
+            tile = self.plan_tile
+            ov = self.plan_overflow
+            plans = jax.vmap(
+                lambda r: scp.build_tile_plan(r, in_cap, ks, tile, win, ov)
+            )(rules)
+            rules_t = jax.vmap(
+                lambda r: scp.transpose_rules(r, in_cap, ks)
+            )(rules)
+            plans_t = jax.vmap(
+                lambda r: scp.build_tile_plan(
+                    r, out_cap, ks, tile, win_t, ov
+                )
+            )(rules_t)
+            return plans, plans_t
 
         # reorder the level-0 table into CSR order once, then all rulebooks
         # hold CSR positions directly (no rows-gather per rulebook; the
@@ -271,14 +320,14 @@ class SparseEncoder(nn.Module):
             coords, valid, shape
         )
         coords, valid, features = jax.vmap(sc.csr_reorder)(table0, features)
-        table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
-            coords, valid, shape
-        )
+        table = jax.vmap(sc.csr_table)(table0, coords, valid)
         rules = jax.vmap(
             sc.build_subm_rules, in_axes=(0, None, None, None)
         )(table, shape, 3, True)
+        cap = features.shape[1]
+        plans = make_plans(rules, cap, cap, 3) if pallas else None
         x = _SubMConvBN(self.encoder_channels[0][0], name="conv_input")(
-            features, rules, valid, train
+            features, rules, valid, train, plans
         )
 
         for i, blocks in enumerate(self.encoder_channels):
@@ -286,16 +335,16 @@ class SparseEncoder(nn.Module):
             n_basic = len(blocks) - 1 if i < n_stage - 1 else len(blocks)
             for j in range(n_basic):
                 x = _SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
-                    x, rules, valid, train
+                    x, rules, valid, train, plans
                 )
             if i < n_stage - 1:
                 out_ch = blocks[-1]
                 pad = tuple(self.down_paddings[i])
-                cap = self.capacities[i + 1]
+                out_cap = self.capacities[i + 1]
                 out_shape = sc.conv_out_shape(shape, 3, 2, pad)
                 out_coords, out_valid = jax.vmap(
                     lambda c, v: sc.build_downsample(
-                        c, v, shape, 3, 2, pad, cap
+                        c, v, shape, 3, 2, pad, out_cap
                     )[:2]
                 )(coords, valid)
                 down_rules = jax.vmap(
@@ -303,32 +352,43 @@ class SparseEncoder(nn.Module):
                         t, shape, oc, ov, 3, 2, pad, use_positions=True
                     )
                 )(table, out_coords, out_valid)
+                down_plans = (
+                    make_plans(down_rules, cap, out_cap, 3)
+                    if pallas else None
+                )
                 x = _DownConvBN(out_ch, name=f"down{i}")(
-                    x, down_rules, out_valid, train
+                    x, down_rules, out_valid, train, down_plans
                 )
                 coords, valid, shape = out_coords, out_valid, out_shape
+                cap = out_cap
                 table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
                     coords, valid, shape
                 )
                 rules = jax.vmap(
                     sc.build_subm_rules, in_axes=(0, None, None, None)
                 )(table, shape, 3, True)
+                plans = make_plans(rules, cap, cap, 3) if pallas else None
 
-        out_shape = sc.conv_out_shape(shape, (3, 1, 1), (2, 1, 1), 0)
+        ks_out = (3, 1, 1)
+        out_shape = sc.conv_out_shape(shape, ks_out, (2, 1, 1), 0)
         out_coords, out_valid = jax.vmap(
             lambda c, v: sc.build_downsample(
-                c, v, shape, (3, 1, 1), (2, 1, 1), 0, self.out_capacity
+                c, v, shape, ks_out, (2, 1, 1), 0, self.out_capacity
             )[:2]
         )(coords, valid)
         down_rules = jax.vmap(
             lambda t, oc, ov: sc.build_conv_rules(
-                t, shape, oc, ov, (3, 1, 1), (2, 1, 1), 0,
+                t, shape, oc, ov, ks_out, (2, 1, 1), 0,
                 use_positions=True,
             )
         )(table, out_coords, out_valid)
-        x = _DownConvBN(self.output_channels, name="conv_out")(
-            x, down_rules, out_valid, train
+        down_plans = (
+            make_plans(down_rules, cap, self.out_capacity, ks_out)
+            if pallas else None
         )
+        x = _DownConvBN(
+            self.output_channels, kernel_size=ks_out, name="conv_out"
+        )(x, down_rules, out_valid, train, down_plans)
 
         dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
             x, out_coords, out_valid, out_shape

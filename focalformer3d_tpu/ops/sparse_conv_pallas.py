@@ -158,18 +158,30 @@ def build_tile_plan(
     in_win = valid & (rel >= 0) & (rel < window)
     relf = jnp.where(in_win, rel, window).astype(jnp.int32)
 
-    overflow = (valid & ~in_win).reshape(-1)
+    # Two-stage overflow compaction: tiles with any spill are rare, so
+    # first find the (few) spilling tiles, then run the expensive
+    # element-level nonzero only over those tiles' rules.
+    overflow = valid & ~in_win  # (K, n_tiles, tile)
     n_overflow = jnp.sum(overflow, dtype=jnp.int32)
+    ktv = n_tiles * tile
+    tcap = max(8, min(n_tiles, overflow_capacity // tile))
+    tile_any = jnp.any(overflow, axis=(0, 2))  # (n_tiles,)
+    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
+    tsafe = jnp.minimum(tidx, n_tiles - 1)
+    ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]
     (ov_idx,) = jnp.nonzero(
-        overflow, size=overflow_capacity, fill_value=overflow.shape[0]
+        ov_sub.reshape(-1), size=overflow_capacity,
+        fill_value=ov_sub.size,
     )
-    flat_kt = pos.reshape(K, -1)  # (K, n_tiles*tile)
-    ktv = flat_kt.shape[1]
-    ov_k = (ov_idx // ktv).astype(jnp.int32)
-    ov_j = (ov_idx % ktv).astype(jnp.int32)
-    oob = ov_idx >= overflow.shape[0]
+    oob = ov_idx >= ov_sub.size
+    ctt = tcap * tile
+    ov_k = jnp.where(oob, 0, ov_idx // ctt).astype(jnp.int32)
+    rest = jnp.where(oob, 0, ov_idx % ctt)
+    ov_ti = tsafe[rest // tile]
+    ov_t = rest % tile
+    ov_j = (ov_ti * tile + ov_t).astype(jnp.int32)
     ov_pos = jnp.where(
-        oob, in_capacity, flat_kt[jnp.clip(ov_k, 0, K - 1), ov_j]
+        oob, in_capacity, pos[ov_k, ov_ti, ov_t]
     ).astype(jnp.int32)
     ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
 
@@ -359,7 +371,8 @@ def _run_kernel(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * T, n_out), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(plan.starts, xp, plan.rel, wbig)
@@ -488,7 +501,9 @@ def apply_conv_pallas(
         interpret = _interpret_default()
     if out_dtype is None:
         out_dtype = features.dtype
-    features = _pad_c(features, 1)
+    # the kernel computes in bf16 on the MXU; casting the table up front
+    # halves its VMEM footprint
+    features = _pad_c(features.astype(jnp.bfloat16), 1)
     weights = _pad_c(weights, 1)
     in_capacity = features.shape[0]
     out = _conv_core(

@@ -193,3 +193,38 @@ def test_overflow_spill_exact():
     out = scp.apply_conv_pallas(feats, plan, plan_t, w, valid,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_encoder_engine_parity():
+    """SparseEncoder(engine='pallas') matches engine='voxel' end-to-end."""
+    from focalformer3d_tpu.models.sparse_encoder import SparseEncoder
+
+    rng = np.random.RandomState(7)
+    shape = (8, 32, 32)
+    caps = (256, 192, 128)
+    coords, valid = _voxel_set(rng, shape, 200, caps[0])
+    feats = _bf16_vals(rng, (caps[0], 5), 0.25)
+    feats = jnp.where(valid[:, None], feats, 0.0)
+    kw = dict(
+        sparse_shape=shape,
+        output_channels=16,
+        encoder_channels=((4, 4, 8), (8, 8)),
+        down_paddings=((1, 1, 1),),
+        capacities=caps[:2],
+        out_capacity=caps[2],
+        plan_tile=16,
+        plan_window=64,
+    )
+    enc_v = SparseEncoder(engine="voxel", **kw)
+    enc_p = SparseEncoder(engine="pallas", **kw)
+    key = jax.random.PRNGKey(0)
+    fb = feats[None]
+    cb = coords[None]
+    vb = valid[None]
+    vars_v = enc_v.init(key, fb, cb, vb)
+    out_v = enc_v.apply(vars_v, fb, cb, vb)
+    out_p = enc_p.apply(vars_v, fb, cb, vb)  # same params
+    # pallas computes the conv applies in bf16 (MXU); voxel engine is f32
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_v), atol=1e-2
+    )
