@@ -243,11 +243,17 @@ def _pad_c(a: jax.Array, axis: int) -> jax.Array:
 
 
 def _pack_table(features: jax.Array, capacity: int) -> jax.Array:
-    """(V, C) -> (Vp/p, p*C) with zero padding."""
+    """(V, C) -> (Vp/p, p*C) bf16 with zero padding.
+
+    Cast here (not at the custom-vjp boundary) so cotangents stay in the
+    caller's dtype; the kernel computes in bf16 on the MXU regardless,
+    and the bf16 table halves the kernel's VMEM footprint."""
     vp = _padded_rows(capacity)
     c = features.shape[1]
     p = _pack_factor(c)
-    xp = jnp.pad(features, ((0, vp - features.shape[0]), (0, 0)))
+    xp = jnp.pad(
+        features.astype(jnp.bfloat16), ((0, vp - features.shape[0]), (0, 0))
+    )
     return xp.reshape(vp // p, p * c)
 
 
@@ -501,9 +507,7 @@ def apply_conv_pallas(
         interpret = _interpret_default()
     if out_dtype is None:
         out_dtype = features.dtype
-    # the kernel computes in bf16 on the MXU; casting the table up front
-    # halves its VMEM footprint
-    features = _pad_c(features.astype(jnp.bfloat16), 1)
+    features = _pad_c(features, 1)
     weights = _pad_c(weights, 1)
     in_capacity = features.shape[0]
     out = _conv_core(
