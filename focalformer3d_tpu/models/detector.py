@@ -98,6 +98,11 @@ def preprocess_points(cfg: DetectorConfig, points: jax.Array,
             "coords": out["coords"],
             "voxel_mask": out["voxel_mask"],
         }
+    if cfg.vfe_type == "HardSimpleVFE":
+        # fused voxelize+mean (skips the (V, P, D) voxel tensor)
+        return jax.vmap(
+            lambda p, m: vox.hard_voxelize_simple(cfg.voxel, p, m)
+        )(points, mask)
     out = jax.vmap(lambda p, m: vox.hard_voxelize(cfg.voxel, p, m))(
         points, mask
     )
@@ -147,9 +152,7 @@ class FocalFormer3D(nn.Module):
         fpn_bev = None
         if cfg.input_pts:
             if cfg.vfe_type == "HardSimpleVFE":
-                feats = hard_simple_vfe(
-                    voxel_data["voxels"], voxel_data["num_points"]
-                )
+                feats = voxel_data["features"]
                 valid = voxel_data["voxel_mask"]
             elif cfg.vfe_type == "HardVFE":
                 feats = HardVFE(

@@ -62,10 +62,16 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.99  # spconv BN momentum 0.01
     epsilon: float = 1e-3
+    features: int | None = None  # required for affine() before __call__
 
     @nn.compact
-    def __call__(self, x, mask, train: bool = False):
-        C = x.shape[-1]
+    def __call__(self, x, mask, train: bool = False,
+                 return_affine: bool = False):
+        """Normalize x, or with ``return_affine`` return the (g, b) of the
+        inference-time affine equivalent bn(x) == x * g + b so the caller
+        can fold BN into preceding conv weights (x may be None then;
+        ``features`` must be set)."""
+        C = self.features if x is None else x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
         )
@@ -74,6 +80,9 @@ class MaskedBatchNorm(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if return_affine:
+            g = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return g, bias - ra_mean.value * g
 
         if train:
             m = mask.astype(jnp.float32)[..., None]

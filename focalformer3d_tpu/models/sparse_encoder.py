@@ -40,14 +40,20 @@ from ..ops import sparse_conv_pallas as scp
 from .layers import MaskedBatchNorm
 
 
-def _batched_pallas_conv(feats, plans, plans_t, w, valid, kernel_size=3):
+def _ds3(r):
+    return r[0], r[1], r[4]
+
+
+def _batched_pallas_conv(feats, plans, plans_t, w, valid, kernel_size=3,
+                         bias=None):
     """Per-sample pallas conv over a batched voxel table (B static)."""
     outs = []
     for b in range(feats.shape[0]):
         pb = jax.tree.map(lambda a: a[b], plans)
         ptb = jax.tree.map(lambda a: a[b], plans_t)
         outs.append(scp.apply_conv_pallas(
-            feats[b], pb, ptb, w, valid[b], kernel_size=kernel_size,
+            feats[b], pb, ptb, w, valid[b], bias=bias,
+            kernel_size=kernel_size,
         ))
     return jnp.stack(outs)
 
@@ -84,13 +90,28 @@ class _SubMConvBN(nn.Module):
                  plans=None):
         K = rules.shape[1] if plans is None else 27
         w = _conv_param(self, "w", K, feats.shape[-1], self.features)
-        if plans is None:
-            y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
-                feats, rules, w, valid
-            )
+        bn = MaskedBatchNorm(features=self.features)
+        if not train:
+            # fold BN into the conv (inference): y = conv(x; w*g) + b
+            g, b = bn(None, None, return_affine=True)
+            if plans is None:
+                y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0, None))(
+                    feats, rules, w * g[None, None, :], valid, b
+                )
+            else:
+                y = _batched_pallas_conv(
+                    feats, plans[0], plans[1], w * g[None, None, :],
+                    valid, bias=b,
+                )
         else:
-            y = _batched_pallas_conv(feats, plans[0], plans[1], w, valid)
-        y = MaskedBatchNorm()(y, valid, train)
+            if plans is None:
+                y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
+                    feats, rules, w, valid
+                )
+            else:
+                y = _batched_pallas_conv(feats, plans[0], plans[1], w,
+                                         valid)
+            y = bn(y, valid, train)
         y = jnp.where(valid[..., None], y, 0.0)
         return nn.relu(y) if self.act else y
 
@@ -121,15 +142,28 @@ class _DownConvBN(nn.Module):
         ks = self.kernel_size
         K = ks[0] * ks[1] * ks[2]
         w = _conv_param(self, "w", K, feats.shape[-1], self.features)
-        if plans is None:
-            y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
-                feats, rules, w, out_valid
-            )
+        bn = MaskedBatchNorm(features=self.features)
+        if not train:
+            g, b = bn(None, None, return_affine=True)
+            if plans is None:
+                y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0, None))(
+                    feats, rules, w * g[None, None, :], out_valid, b
+                )
+            else:
+                y = _batched_pallas_conv(
+                    feats, plans[0], plans[1], w * g[None, None, :],
+                    out_valid, kernel_size=ks, bias=b,
+                )
         else:
-            y = _batched_pallas_conv(
-                feats, plans[0], plans[1], w, out_valid, kernel_size=ks
-            )
-        y = MaskedBatchNorm()(y, out_valid, train)
+            if plans is None:
+                y = jax.vmap(sc.apply_conv, in_axes=(0, 0, None, 0))(
+                    feats, rules, w, out_valid
+                )
+            else:
+                y = _batched_pallas_conv(
+                    feats, plans[0], plans[1], w, out_valid, kernel_size=ks
+                )
+            y = bn(y, out_valid, train)
         y = jnp.where(out_valid[..., None], y, 0.0)
         return nn.relu(y)
 
@@ -205,7 +239,7 @@ class SparseEncoder(nn.Module):
     out_capacity: int = 40000
     engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas'
     plan_tile: int = 256
-    plan_window: int = 512
+    plan_window: int = 256
     plan_overflow: int = 8192
 
     @nn.compact
@@ -294,24 +328,29 @@ class SparseEncoder(nn.Module):
         n_stage = len(self.encoder_channels)
         pallas = self.engine == "pallas"
 
-        def make_plans(rules, in_cap, out_cap, ks):
-            """Batched tile plans (+ transposed) for one conv geometry."""
+        def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
+                       ks, stride, pad):
+            """Batched fused plan build (+ transposed plan for backward,
+            dead-code-eliminated by XLA in inference)."""
             win = min(self.plan_window, scp._padded_rows(in_cap))
             win_t = min(self.plan_window, scp._padded_rows(out_cap))
             tile = self.plan_tile
             ov = self.plan_overflow
-            plans = jax.vmap(
-                lambda r: scp.build_tile_plan(r, in_cap, ks, tile, win, ov)
-            )(rules)
-            rules_t = jax.vmap(
-                lambda r: scp.transpose_rules(r, in_cap, ks)
-            )(rules)
-            plans_t = jax.vmap(
-                lambda r: scp.build_tile_plan(
-                    r, out_cap, ks, tile, win_t, ov
+
+            def one(t, oc, o_v):
+                rules = sc.build_conv_rules(
+                    t, shp, oc, o_v, ks, stride, pad, use_positions=True
                 )
-            )(rules_t)
-            return plans, plans_t
+                plan = scp.build_tile_plan(
+                    rules, in_cap, ks, tile, win, ov
+                )
+                rules_t = scp.transpose_rules(rules, in_cap, ks)
+                plan_t = scp.build_tile_plan(
+                    rules_t, out_cap, ks, tile, win_t, ov
+                )
+                return plan, plan_t
+
+            return jax.vmap(one)(table, out_coords, out_valid)
 
         # reorder the level-0 table into CSR order once, then all rulebooks
         # hold CSR positions directly (no rows-gather per rulebook; the
@@ -321,11 +360,17 @@ class SparseEncoder(nn.Module):
         )
         coords, valid, features = jax.vmap(sc.csr_reorder)(table0, features)
         table = jax.vmap(sc.csr_table)(table0, coords, valid)
-        rules = jax.vmap(
-            sc.build_subm_rules, in_axes=(0, None, None, None)
-        )(table, shape, 3, True)
         cap = features.shape[1]
-        plans = make_plans(rules, cap, cap, 3) if pallas else None
+        if pallas:
+            rules = None
+            plans = make_plans(
+                table, shape, coords, valid, cap, cap, 3, 1, (1, 1, 1)
+            )
+        else:
+            rules = jax.vmap(
+                sc.build_subm_rules, in_axes=(0, None, None, None)
+            )(table, shape, 3, True)
+            plans = None
         x = _SubMConvBN(self.encoder_channels[0][0], name="conv_input")(
             features, rules, valid, train, plans
         )
@@ -342,32 +387,43 @@ class SparseEncoder(nn.Module):
                 pad = tuple(self.down_paddings[i])
                 out_cap = self.capacities[i + 1]
                 out_shape = sc.conv_out_shape(shape, 3, 2, pad)
-                out_coords, out_valid = jax.vmap(
-                    lambda c, v: sc.build_downsample(
-                        c, v, shape, 3, 2, pad, out_cap
-                    )[:2]
-                )(coords, valid)
-                down_rules = jax.vmap(
-                    lambda t, oc, ov: sc.build_conv_rules(
-                        t, shape, oc, ov, 3, 2, pad, use_positions=True
+                out_coords, out_valid, out_meta = jax.vmap(
+                    lambda c, v: _ds3(
+                        sc.build_downsample(c, v, shape, 3, 2, pad, out_cap)
                     )
-                )(table, out_coords, out_valid)
-                down_plans = (
-                    make_plans(down_rules, cap, out_cap, 3)
-                    if pallas else None
-                )
+                )(coords, valid)
+                if pallas:
+                    down_rules = None
+                    down_plans = make_plans(
+                        table, shape, out_coords, out_valid, cap, out_cap,
+                        3, 2, pad,
+                    )
+                else:
+                    down_rules = jax.vmap(
+                        lambda t, oc, ov: sc.build_conv_rules(
+                            t, shape, oc, ov, 3, 2, pad, use_positions=True
+                        )
+                    )(table, out_coords, out_valid)
+                    down_plans = None
                 x = _DownConvBN(out_ch, name=f"down{i}")(
                     x, down_rules, out_valid, train, down_plans
                 )
                 coords, valid, shape = out_coords, out_valid, out_shape
                 cap = out_cap
-                table = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
-                    coords, valid, shape
+                table = jax.vmap(sc.table_from_meta)(
+                    coords, valid, out_meta
                 )
-                rules = jax.vmap(
-                    sc.build_subm_rules, in_axes=(0, None, None, None)
-                )(table, shape, 3, True)
-                plans = make_plans(rules, cap, cap, 3) if pallas else None
+                if pallas:
+                    rules = None
+                    plans = make_plans(
+                        table, shape, coords, valid, cap, cap, 3, 1,
+                        (1, 1, 1),
+                    )
+                else:
+                    rules = jax.vmap(
+                        sc.build_subm_rules, in_axes=(0, None, None, None)
+                    )(table, shape, 3, True)
+                    plans = None
 
         ks_out = (3, 1, 1)
         out_shape = sc.conv_out_shape(shape, ks_out, (2, 1, 1), 0)
@@ -376,16 +432,20 @@ class SparseEncoder(nn.Module):
                 c, v, shape, ks_out, (2, 1, 1), 0, self.out_capacity
             )[:2]
         )(coords, valid)
-        down_rules = jax.vmap(
-            lambda t, oc, ov: sc.build_conv_rules(
-                t, shape, oc, ov, ks_out, (2, 1, 1), 0,
-                use_positions=True,
+        if pallas:
+            down_rules = None
+            down_plans = make_plans(
+                table, shape, out_coords, out_valid, cap,
+                self.out_capacity, ks_out, (2, 1, 1), 0,
             )
-        )(table, out_coords, out_valid)
-        down_plans = (
-            make_plans(down_rules, cap, self.out_capacity, ks_out)
-            if pallas else None
-        )
+        else:
+            down_rules = jax.vmap(
+                lambda t, oc, ov: sc.build_conv_rules(
+                    t, shape, oc, ov, ks_out, (2, 1, 1), 0,
+                    use_positions=True,
+                )
+            )(table, out_coords, out_valid)
+            down_plans = None
         x = _DownConvBN(
             self.output_channels, kernel_size=ks_out, name="conv_out"
         )(x, down_rules, out_valid, train, down_plans)

@@ -261,6 +261,15 @@ def build_conv_rules(
     return in_table.rows[jnp.clip(pos_all, 0, V)].astype(jnp.int32)
 
 
+def table_from_meta(coords_csr, valid_csr, meta) -> VoxelTable:
+    """Table over a CSR-ordered set whose column meta is already known
+    (e.g. the out_meta of build_downsample) — rows are the identity."""
+    V = coords_csr.shape[0]
+    rows = jnp.where(valid_csr, jnp.arange(V, dtype=jnp.int32), V)
+    rows = jnp.concatenate([rows, jnp.full((1,), V, jnp.int32)])
+    return VoxelTable(coords_csr, valid_csr, meta, rows)
+
+
 def csr_table(table: VoxelTable, coords_csr, valid_csr) -> VoxelTable:
     """Table over a CSR-reordered voxel set: the active set (and hence
     meta) is unchanged and rows become the identity, so no rebuild is
@@ -378,8 +387,10 @@ def build_downsample(
 ):
     """Active output set of a strided sparse conv.
 
-    Returns (out_coords (Vo,3), out_valid (Vo,), out_shape, overflow count).
-    Output order is CSR (column-major, z-minor) — deterministic.
+    Returns (out_coords (Vo,3), out_valid (Vo,), out_shape, overflow
+    count, out_meta). Output order is CSR (column-major, z-minor) —
+    deterministic; out_meta is the next level's column index (reusable
+    via ``table_from_meta`` instead of a fresh build_table).
 
     No sort/scatter-dedupe: output z-bitmasks are word arithmetic on the
     input bitmasks, the BEV union is ky*kx strided slices, CSR positions
@@ -464,7 +475,7 @@ def build_downsample(
         jnp.arange(out_capacity) < jnp.minimum(total, out_capacity)
     )
     overflow = jnp.maximum(total - out_capacity, 0)
-    return out_coords, out_valid, out_shape, overflow
+    return out_coords, out_valid, out_shape, overflow, out_meta
 
 
 def to_dense(

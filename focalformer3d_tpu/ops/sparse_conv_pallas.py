@@ -517,3 +517,185 @@ def apply_conv_pallas(
         out = out + bias.astype(out.dtype)[None, :]
     out = jnp.where(out_valid[:, None], out, 0.0)
     return out.astype(out_dtype)
+
+
+def build_plan_direct(
+    in_table,  # sparse_conv.VoxelTable over the input set
+    in_shape,
+    out_coords: jax.Array,  # (V_out, 3) CSR-ordered
+    out_valid: jax.Array,
+    kernel_size=3,
+    stride=1,
+    padding=0,
+    tile: int = 256,
+    window: int = 512,
+    overflow_capacity: int = 8192,
+    with_rules: bool = False,
+):
+    """Fused rulebook + tile-plan construction.
+
+    Builds the window-relative rulebook straight in the kernel's
+    (n_tiles, T, K) layout: window starts come from the meta row-start of
+    each tile's first site's minimal band column (meta starts are
+    monotone in column index, so clamping only widens the window — any
+    residual span overflow goes through the exact spill list). This
+    replaces sparse_conv.build_conv_rules + build_tile_plan for the
+    forward path; when ``with_rules`` the absolute (K, V_out) positions
+    are also returned (needed to build the transposed plan for the
+    backward pass — dead-code-eliminated by XLA in inference).
+    """
+    from . import sparse_conv as sc
+
+    if isinstance(kernel_size, int):
+        kz = ky = kx = kernel_size
+    else:
+        kz, ky, kx = kernel_size
+    sz, sy, sx = (
+        (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+    )
+    pz, py, px = (
+        (padding,) * 3 if isinstance(padding, int) else tuple(padding)
+    )
+    D, H, W = in_shape
+    V = in_table.capacity
+    n_col = H * W
+    v_out = out_coords.shape[0]
+    perm, n_groups = _group_perm((kz, ky, kx))
+    n_tiles = -(-v_out // tile)
+    padn = n_tiles * tile - v_out
+    vp = _padded_rows(V)
+    if window % _ALIGN or vp < window:  # pragma: no cover - config error
+        raise ValueError(f"bad window {window} for capacity {V}")
+
+    oc = jnp.pad(out_coords, ((0, padn), (0, 0)))
+    ov = jnp.pad(out_valid, (0, padn))
+    meta = in_table.meta
+
+    # packed meta rows for the kx x-taps (see sparse_conv.build_conv_rules)
+    if kx > 1:
+        core = meta[:-1]
+        shifts = []
+        for dx in range(kx):
+            off = dx - 1
+            if off < 0:
+                s = jnp.concatenate([meta[-1:], core[:off]], 0)
+            elif off == 0:
+                s = core
+            else:
+                s = jnp.concatenate([core[off:], meta[-1:]], 0)
+            shifts.append(s)
+        metap = jnp.concatenate(shifts, axis=1)
+        metap = jnp.concatenate(
+            [metap, jnp.zeros((1, 4 * kx), jnp.int32)], 0
+        )
+    else:
+        metap = meta
+
+    # window starts: first site of each tile, minimal column of each band
+    first = oc[::tile]  # (n_tiles, 3)
+    starts = []
+    for g in range(ky):
+        yg = first[:, 1] * sy - py + g
+        xg = first[:, 2] * sx - px
+        colg = jnp.clip(yg * W + xg, 0, n_col - 1)
+        st = meta[colg, 2]
+        st = jnp.minimum(st, vp - window) & ~(_ALIGN - 1)
+        starts.append(st.astype(jnp.int32))
+    if ky == 1:
+        starts = starts * n_groups
+    starts_site = [
+        jnp.repeat(s, tile, total_repeat_length=n_tiles * tile)
+        for s in starts
+    ]
+
+    z0 = oc[:, 0] * sz - pz
+    rel_taps = [None] * (kz * ky * kx)
+    pos_taps = [None] * (kz * ky * kx) if with_rules else None
+    for dy in range(ky):
+        yi = oc[:, 1] * sy - py + dy
+        y_ok = ov & (yi >= 0) & (yi < H)
+        st_g = starts_site[dy if ky > 1 else 0]
+        if kx > 1:
+            xc = oc[:, 2] * sx - px + 1
+            colq = jnp.where(
+                y_ok, jnp.clip(yi * W + xc, 0, n_col - 1), n_col
+            )
+            m3 = metap[colq]
+        for dx in range(kx):
+            xi = oc[:, 2] * sx - px + dx
+            bev_ok = y_ok & (xi >= 0) & (xi < W)
+            if kx > 1:
+                w0 = jnp.where(bev_ok, m3[:, 4 * dx], 0)
+                w1 = jnp.where(bev_ok, m3[:, 4 * dx + 1], 0)
+                start_c = m3[:, 4 * dx + 2]
+            else:
+                colq = jnp.where(bev_ok, yi * W + xi, n_col)
+                m = metap[colq]
+                w0, w1, start_c = m[:, 0], m[:, 1], m[:, 2]
+            for dz in range(kz):
+                zi = z0 + dz
+                ok = (
+                    bev_ok & (zi >= 0) & (zi < D)
+                    & sc._test_bit(w0, w1, zi)
+                )
+                pos = start_c + sc._rank(w0, w1, zi)
+                k = dz * ky * kx + dy * kx + dx
+                rel_taps[k] = (jnp.where(ok, pos, -1), st_g)
+                if with_rules:
+                    pos_taps[k] = jnp.where(ok, pos, V)
+
+    rel_abs = jnp.stack([p for p, _ in rel_taps], 0)  # (K, Vp) or -1 miss
+    st_all = jnp.stack([s for _, s in rel_taps], 0)
+    rel = rel_abs - st_all
+    ok_all = rel_abs >= 0
+    in_win = ok_all & (rel >= 0) & (rel < window)
+    relf = jnp.where(in_win, rel, window).astype(jnp.int32)
+    relf = relf.reshape(-1, n_tiles, tile)
+
+    # two-stage overflow compaction (same scheme as build_tile_plan)
+    overflow = (ok_all & ~in_win).reshape(-1, n_tiles, tile)
+    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
+    ktv = n_tiles * tile
+    tcap = max(8, min(n_tiles, overflow_capacity // tile))
+    tile_any = jnp.any(overflow, axis=(0, 2))
+    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
+    tsafe = jnp.minimum(tidx, n_tiles - 1)
+    ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]
+    (ov_idx,) = jnp.nonzero(
+        ov_sub.reshape(-1), size=overflow_capacity, fill_value=ov_sub.size
+    )
+    oob = ov_idx >= ov_sub.size
+    K = relf.shape[0]
+    ctt = tcap * tile
+    ov_k = jnp.where(oob, 0, ov_idx // ctt).astype(jnp.int32)
+    rest = jnp.where(oob, 0, ov_idx % ctt)
+    ov_ti = tsafe[rest // tile]
+    ov_t = rest % tile
+    ov_j = (ov_ti * tile + ov_t).astype(jnp.int32)
+    pos3 = rel_abs.reshape(K, n_tiles, tile)
+    ov_pos = jnp.where(
+        oob, V, pos3[ov_k, ov_ti, ov_t]
+    ).astype(jnp.int32)
+    ov_pos = jnp.where(ov_pos < 0, V, ov_pos)
+    ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
+
+    plan = TilePlan(
+        rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
+        starts=jnp.stack(
+            starts if ky > 1 else starts * 1, axis=-1
+        ).reshape(-1) if ky > 1 else jnp.repeat(
+            starts[0][:, None], n_groups, axis=1
+        ).reshape(-1),
+        ov_pos=ov_pos,
+        ov_out=ov_out,
+        ov_tap=ov_k,
+        n_overflow=n_overflow,
+        v_out=v_out,
+        window=window,
+        n_groups=n_groups,
+        perm=perm,
+    )
+    if with_rules:
+        rules = jnp.stack(pos_taps, 0)[:, :v_out]
+        return plan, rules
+    return plan

@@ -155,3 +155,70 @@ def dynamic_voxelize(cfg: VoxelConfig, points: jax.Array, mask: jax.Array):
     )
     voxel_mask = jnp.zeros((V,), bool).at[vslot].set(True, mode="drop")
     return {"features": feats, "coords": out_coords, "voxel_mask": voxel_mask}
+
+
+def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
+                         mask: jax.Array):
+    """Hard voxelization fused with HardSimpleVFE (per-voxel mean of the
+    first ``max_num_points`` points) — skips materializing the
+    (V, P, D) voxel tensor that mmdet3d's two-step pipeline builds
+    (reference: Voxelization + HardSimpleVFE,
+    focalformer3d.py:189-209 / FocalFormer3D_L.py:189-197).
+
+    Returns dict: features (V, D), coords (V, 3), voxel_mask (V,).
+    Semantics match hard_voxelize + hard_simple_vfe exactly: only the
+    first P points (input order) of each voxel contribute to the mean.
+    """
+    V, P = cfg.max_voxels, cfg.max_num_points
+    N, D = points.shape
+    coords, valid = point_voxel_coords(cfg, points, mask)
+    key = _linear_key(coords, valid, cfg.grid_size)
+
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+    svalid = valid[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    ) & svalid
+    voxel_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    pos = jnp.arange(N, dtype=jnp.int32)
+
+    # equal keys are contiguous after the sort, so per-voxel sums are
+    # prefix-sum differences over run boundaries — no segment scatter,
+    # and the first-P-points cap is pure index arithmetic.
+    pc = jnp.concatenate(
+        [points, coords.astype(points.dtype)], axis=1
+    )[order]
+    csum = jnp.cumsum(jnp.where(svalid[:, None], pc, 0.0), axis=0)
+
+    vslot = jnp.where(is_start & (voxel_id < V), voxel_id, V + 1)
+    start = jnp.full((V + 1,), N, jnp.int32).at[vslot].set(
+        pos, mode="drop", indices_are_sorted=True, unique_indices=True
+    )[:V]
+    is_end = svalid & (
+        jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
+        | ~jnp.concatenate([svalid[1:], jnp.zeros((1,), bool)])
+    )
+    eslot = jnp.where(is_end & (voxel_id < V), voxel_id, V + 1)
+    run_end = jnp.full((V + 1,), N, jnp.int32).at[eslot].set(
+        pos + 1, mode="drop", indices_are_sorted=True, unique_indices=True
+    )[:V]
+    end = jnp.maximum(jnp.minimum(start + P, run_end), start)
+    count = jnp.where(start < N, end - start, 0)
+    lo = jnp.where((start > 0)[:, None],
+                   csum[jnp.maximum(start - 1, 0)], 0.0)
+    hi = csum[jnp.maximum(end - 1, 0)]
+    total = jnp.where((count > 0)[:, None], hi - lo, 0.0)
+    feats = total[:, :D] / jnp.maximum(count[:, None], 1).astype(
+        points.dtype
+    )
+    out_coords = jnp.zeros((V + 1, 3), jnp.int32).at[vslot].set(
+        coords[order], mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )[:V]
+    voxel_mask = count > 0
+    return {
+        "features": feats,
+        "coords": out_coords,
+        "voxel_mask": voxel_mask,
+    }

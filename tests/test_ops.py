@@ -142,7 +142,7 @@ class TestSparseConv:
         coords, feats, valid, dense = make_sparse_sample(rng, shape, 25, cap, 3)
         w = rng.randn(27, 3, 5).astype(np.float32) * 0.2
 
-        out_coords, out_valid, out_shape, overflow = sparse_conv.build_downsample(
+        out_coords, out_valid, out_shape, overflow, _ = sparse_conv.build_downsample(
             jnp.asarray(coords), jnp.asarray(valid), shape, 3, 2, 1, 64)
         assert int(overflow) == 0
         table = sparse_conv.build_table(jnp.asarray(coords), jnp.asarray(valid), shape)
@@ -187,7 +187,7 @@ class TestSparseConv:
         shape = (5, 6, 6)
         cap = 64
         coords, feats, valid, dense = make_sparse_sample(rng, shape, 20, cap, 3)
-        out_coords, out_valid, out_shape, _ = sparse_conv.build_downsample(
+        out_coords, out_valid, out_shape, _, _ = sparse_conv.build_downsample(
             jnp.asarray(coords), jnp.asarray(valid), shape, (3, 1, 1), (2, 1, 1), 0, 64)
         assert out_shape == (2, 6, 6)
 
@@ -198,3 +198,31 @@ class TestSparseConv:
         got = np.asarray(sparse_conv.to_dense(
             jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid), shape))
         np.testing.assert_allclose(got, dense, atol=1e-6)
+
+
+def test_hard_voxelize_simple_matches_two_step():
+    from focalformer3d_tpu.models.vfe import hard_simple_vfe
+    from focalformer3d_tpu.ops import voxelize as vox
+
+    cfg = vox.VoxelConfig(
+        point_cloud_range=(-4.0, -4.0, -1.0, 4.0, 4.0, 1.0),
+        voxel_size=(0.5, 0.5, 0.5),
+        max_num_points=3,
+        max_voxels=64,
+    )
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-5, 5, size=(300, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1.2, 1.2, size=300)
+    mask = rng.rand(300) < 0.9
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    two = vox.hard_voxelize(cfg, pts_j, mask_j)
+    feats_two = hard_simple_vfe(two["voxels"], two["num_points"])
+    fused = vox.hard_voxelize_simple(cfg, pts_j, mask_j)
+
+    np.testing.assert_array_equal(
+        np.asarray(two["coords"]), np.asarray(fused["coords"]))
+    np.testing.assert_array_equal(
+        np.asarray(two["voxel_mask"]), np.asarray(fused["voxel_mask"]))
+    np.testing.assert_allclose(
+        np.asarray(feats_two), np.asarray(fused["features"]), atol=1e-5)

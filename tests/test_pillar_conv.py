@@ -81,7 +81,7 @@ class TestConvParity:
         rng = np.random.RandomState(3)
         feats, coords, valid = _rand_voxels(rng)
         pad = (1, 1, 1)
-        oc, ov, out_shape, _ = sc.build_downsample(
+        oc, ov, out_shape, _, _ = sc.build_downsample(
             coords, valid, SHAPE, 3, 2, pad, 512
         )
         # voxel-engine active set -> dense occupancy
@@ -108,7 +108,7 @@ class TestConvParity:
         feats, coords, valid = _rand_voxels(rng)
         pad = (1, 1, 1)
         w27 = jnp.asarray(rng.randn(27, 5, 4).astype(np.float32))
-        oc, ov, out_shape, _ = sc.build_downsample(
+        oc, ov, out_shape, _, _ = sc.build_downsample(
             coords, valid, SHAPE, 3, 2, pad, 512
         )
         table = sc.build_table(coords, valid, SHAPE)

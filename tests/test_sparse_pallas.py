@@ -104,7 +104,7 @@ def test_down_parity(ks, stride, pad):
     table, coords, valid, feats, shape = _csr_setup(rng)
     V = coords.shape[0]
     cap_out = 64
-    out_coords, out_valid, out_shape, _ = sc.build_downsample(
+    out_coords, out_valid, out_shape, _, _ = sc.build_downsample(
         coords, valid, shape, ks, stride, pad, cap_out
     )
     rules = sc.build_conv_rules(
@@ -228,3 +228,44 @@ def test_encoder_engine_parity():
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_v), atol=1e-2
     )
+
+
+@pytest.mark.parametrize("case", ["subm", "down", "convout"])
+def test_build_plan_direct_matches(case):
+    """Fused plan construction produces the same conv outputs as
+    build_conv_rules + build_tile_plan."""
+    rng = np.random.RandomState(11)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    if case == "subm":
+        ks, stride, pad = 3, 1, (1, 1, 1)
+        out_coords, out_valid, cap_out = coords, valid, V
+    else:
+        ks = (3, 1, 1) if case == "convout" else 3
+        stride = (2, 1, 1) if case == "convout" else 2
+        pad = (0, 0, 0) if case == "convout" else (1, 1, 1)
+        cap_out = 64
+        out_coords, out_valid, _, _, _ = sc.build_downsample(
+            coords, valid, shape, ks, stride, pad, cap_out
+        )
+    rules_ref = sc.build_conv_rules(
+        table, shape, out_coords, out_valid, ks, stride, pad,
+        use_positions=True,
+    )
+    K = rules_ref.shape[0]
+    w = _bf16_vals(rng, (K, feats.shape[1], 12), 1 / 16)
+    ref = sc.apply_conv(feats, rules_ref, w, out_valid)
+
+    plan, rules = scp.build_plan_direct(
+        table, shape, out_coords, out_valid, ks, stride, pad,
+        tile=16, window=64, overflow_capacity=4096, with_rules=True,
+    )
+    np.testing.assert_array_equal(np.asarray(rules),
+                                  np.asarray(rules_ref))
+    rules_t = scp.transpose_rules(rules, V, ks)
+    plan_t = scp.build_tile_plan(rules_t, cap_out, ks, tile=16, window=64,
+                                 overflow_capacity=4096)
+    out = scp.apply_conv_pallas(
+        feats, plan, plan_t, w, out_valid, kernel_size=ks, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -71,15 +71,8 @@ def main():
     nvox = int(vox["voxel_mask"].sum())
     print(f"  (occupied voxels: {nvox})", flush=True)
 
-    # ---- VFE ----
-    @jax.jit
-    def s_vfe(vox, chain):
-        return hard_simple_vfe(
-            vox["voxels"] + chain, vox["num_points"])
-
-    t = timeit(s_vfe, vox)
-    print(f"vfe:                 {t*1e3:8.2f} ms", flush=True)
-    feats = s_vfe(vox, jnp.zeros((), jnp.float32))
+    # ---- VFE (fused into voxelize for HardSimpleVFE) ----
+    feats = vox["features"]
 
     # ---- sparse encoder: rulebook builds only ----
     shape0 = tuple(cfg.sparse_shape)
