@@ -16,6 +16,7 @@ _REGISTRY = {
     "FocalFormer3D_LC": "focalformer3d_lc",
     "DeformFormer3D_C_R50": "deformformer3d_c_r50",
     "Tiny_L": "tiny_l",
+    "Tiny_Waymo_L": "tiny_waymo_l",
 }
 
 # derived variants (variants.py)
@@ -30,13 +31,21 @@ _VARIANTS = {
 
 
 def get_config(name: str):
+    """Resolve a named config. Ensures a 'dataset' key ('nuscenes' by
+    default, 'waymo' for Waymo configs) — drives dataset and metric
+    selection in tools/train.py and tools/test.py."""
     if name in _VARIANTS:
         mod = importlib.import_module("focalformer3d_tpu.configs.variants")
-        return getattr(mod, _VARIANTS[name])()
-    mod = importlib.import_module(
-        f"focalformer3d_tpu.configs.{_REGISTRY[name]}"
+        cfg = getattr(mod, _VARIANTS[name])()
+    else:
+        mod = importlib.import_module(
+            f"focalformer3d_tpu.configs.{_REGISTRY[name]}"
+        )
+        cfg = mod.get_config()
+    cfg.setdefault(
+        "dataset", "waymo" if "Waymo" in name else "nuscenes"
     )
-    return mod.get_config()
+    return cfg
 
 
 def available() -> list:

@@ -1,0 +1,70 @@
+"""End-to-end Waymo path: fixture info-pkl + point bins -> tools/test.py
+reports L2 mAPH (VERDICT item 4)."""
+import json
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _make_fixture(root: Path, n_frames=2):
+    (root / "points").mkdir(parents=True)
+    infos = []
+    rng = np.random.RandomState(0)
+    for i in range(n_frames):
+        pts = rng.uniform(-7, 7, size=(4000, 6)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2.5, 2.5, size=4000)
+        rel = f"points/{i:06d}.bin"
+        pts.tofile(root / rel)
+        # one Car GT at origin, camera-frame annotation with identity calib
+        rect = np.eye(4)
+        trv2c = np.eye(4)
+        infos.append({
+            "image": {"image_idx": i},
+            "point_cloud": {"velodyne_path": rel},
+            "calib": {"R0_rect": rect, "Tr_velo_to_cam": trv2c},
+            "annos": {
+                "name": np.asarray(["Car", "DontCare"], object),
+                "location": np.asarray([[0.0, 0.0, 0.0], [9, 9, 9]]),
+                "dimensions": np.asarray([[4.0, 1.5, 2.0], [1, 1, 1]]),
+                "rotation_y": np.asarray([0.0, 0.0]),
+                "difficulty": np.asarray([0, 0]),
+                "num_points_in_gt": np.asarray([50, 0]),
+            },
+        })
+    with open(root / "waymo_infos_val.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+
+def test_waymo_dataset_and_cli_eval(tmp_path):
+    _make_fixture(tmp_path)
+
+    # dataset reader semantics
+    sys.path.insert(0, str(ROOT))
+    from focalformer3d_tpu.data.waymo import WaymoDataset
+
+    ds = WaymoDataset(
+        str(tmp_path / "waymo_infos_val.pkl"), data_root=str(tmp_path)
+    )
+    s = ds.get_sample(0)
+    assert s["points"].shape[1] == 5
+    assert len(s["gt_boxes"]) == 1  # DontCare dropped
+    assert s["gt_l2_only"].shape == (1,)
+    assert not s["gt_l2_only"][0]
+
+    # full CLI: tiny waymo model, 2 frames, internal L1/L2 metrics
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "test.py"), "Tiny_Waymo_L",
+         "--platform", "cpu", "--data-root", str(tmp_path),
+         "--max-points", "8000", "--limit", "2"],
+        capture_output=True, text=True, timeout=900, cwd=str(ROOT),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = out.stdout[out.stdout.index("{"):]
+    metrics = json.loads(payload[:payload.rindex("}") + 1])
+    assert "L2/mAPH" in metrics
+    assert "L1/Car_AP" in metrics

@@ -66,18 +66,33 @@ def main():
     cfg_all = get_config(args.config)
     cfg = cfg_all["model"]
     classes = cfg_all["class_names"]
+    dataset = cfg_all.get("dataset", "nuscenes")
 
-    ann = args.ann_file or str(
-        Path(args.data_root) / "nuscenes_infos_val.pkl"
-    )
-    ds = nusc.NuScenesDataset(
-        ann, data_root=args.data_root, classes=classes,
-        pipeline=pl.test_pipeline(
-            cfg.voxel.point_cloud_range, with_images=cfg.input_img,
-            img_scale=cfg.lss.img_scale,
-        ),
-        with_images=cfg.input_img, test_mode=True,
-    )
+    if dataset == "waymo":
+        from focalformer3d_tpu.data import waymo as wds
+
+        ann = args.ann_file or str(
+            Path(args.data_root) / "waymo_infos_val.pkl"
+        )
+        ds = wds.WaymoDataset(
+            ann, data_root=args.data_root, classes=classes,
+            pipeline=pl.test_pipeline(
+                cfg.voxel.point_cloud_range, with_images=False,
+            ),
+            test_mode=True,
+        )
+    else:
+        ann = args.ann_file or str(
+            Path(args.data_root) / "nuscenes_infos_val.pkl"
+        )
+        ds = nusc.NuScenesDataset(
+            ann, data_root=args.data_root, classes=classes,
+            pipeline=pl.test_pipeline(
+                cfg.voxel.point_cloud_range, with_images=cfg.input_img,
+                img_scale=cfg.lss.img_scale,
+            ),
+            with_images=cfg.input_img, test_mode=True,
+        )
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     print(f"evaluating {n} samples")
 
@@ -161,16 +176,26 @@ def main():
                     [classes.index(names[j]) for j in keep], np.int32
                 ),
             }
+            if "gt_l2_only" in s:
+                gt[token]["l2_only"] = np.asarray(s["gt_l2_only"])[keep]
         else:
             gt[token] = {"boxes": np.zeros((0, 9)), "labels": np.zeros(0)}
         if (i + 1) % 50 == 0:
             fps = (i + 1) / (time.time() - t0)
             print(f"{i + 1}/{n} ({fps:.2f} samples/s)")
 
-    metrics = eval_nuscenes.evaluate_detections(predictions, gt, classes)
-    print(json.dumps({k: round(v, 4) for k, v in metrics.items()}, indent=1))
+    if dataset == "waymo":
+        from focalformer3d_tpu.core import eval_waymo
 
-    if args.out:
+        metrics = eval_waymo.evaluate_detections(predictions, gt, classes)
+    else:
+        metrics = eval_nuscenes.evaluate_detections(
+            predictions, gt, classes
+        )
+    print(json.dumps({k: round(v, 4) for k, v in metrics.items()},
+                     indent=1))
+
+    if args.out and dataset != "waymo":
         infos_by_token = {info["token"]: info for info in ds.infos}
         sub = res.format_nuscenes_submission(
             predictions, infos_by_token, classes, args.out

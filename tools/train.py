@@ -94,6 +94,43 @@ def main():
 
         pipeline = None
         steps_per_epoch = iters
+    elif cfg_all.get("dataset", "nuscenes") == "waymo":
+        from focalformer3d_tpu.data import nuscenes as nusc  # collate
+        from focalformer3d_tpu.data import pipelines as pl
+        from focalformer3d_tpu.data import waymo as wds
+
+        ann = args.ann_file or str(
+            Path(args.data_root) / "waymo_infos_train.pkl"
+        )
+        pipe = pl.train_pipeline(
+            cfg.voxel.point_cloud_range, cfg_all["class_names"],
+            db_sampler=None, with_images=False,
+        )
+        ds = wds.WaymoDataset(
+            ann, data_root=args.data_root,
+            classes=cfg_all["class_names"], pipeline=pipe,
+            load_interval=cfg_all.get("load_interval", 1),
+        )
+        pipeline = ds.pipeline
+        indices = np.arange(len(ds))
+        steps_per_epoch = max(1, len(indices) // batch_size)
+        if args.iters_per_epoch:
+            steps_per_epoch = args.iters_per_epoch
+
+        def batch_iter(epoch):
+            order = rng_np.permutation(indices)
+            for it in range(steps_per_epoch):
+                sel = order[it * batch_size: (it + 1) * batch_size]
+                if len(sel) < batch_size:
+                    return
+                samples = [ds.get_sample(int(i), rng_np) for i in sel]
+                b = nusc.collate(
+                    samples, cfg_all["class_names"],
+                    max_points=args.max_points,
+                    max_gts=cfg.decoder.max_gts // 4,
+                )
+                b.pop("tokens", None)
+                yield {k: jnp.asarray(v) for k, v in b.items()}
     else:
         from focalformer3d_tpu.data import nuscenes as nusc
         from focalformer3d_tpu.data import pipelines as pl
