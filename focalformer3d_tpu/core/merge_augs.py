@@ -117,3 +117,18 @@ def merge_tta_results(
     labels = jnp.stack([r["labels"] for r in aug_results])
     valid = jnp.stack([r["mask"] for r in aug_results])
     return merge_aug_boxes(cfg, boxes, scores, labels, valid)
+
+
+def tta_augs(tta_cfg: dict):
+    """Expand a config 'tta' dict into (scale, flip_h, flip_v) passes
+    (reference MultiScaleFlipAug3D: pts_scale_ratio x double-flip,
+    FocalFormer3D_LC_TTA.py:84-96)."""
+    scales = tuple(tta_cfg.get("pts_scale_ratio", (1.0,)))
+    flips = [(False, False)]
+    if tta_cfg.get("flip_horizontal", True):
+        flips.append((True, False))
+    if tta_cfg.get("flip_vertical", True):
+        flips.append((False, True))
+    if len(flips) == 3:
+        flips.append((True, True))
+    return [(s, fh, fv) for s in scales for fh, fv in flips]

@@ -12,6 +12,7 @@ projects/configs/focalformer3d/FocalFormer3D_L.py:344-369):
 """
 from __future__ import annotations
 
+import json
 import time
 from typing import Callable, Dict, Iterable, Optional
 
@@ -51,10 +52,22 @@ def run_training(
     log_fn: Callable[[str], None] = print,
     hooks: Iterable = (),
     shard_fn: Optional[Callable] = None,
+    json_log_path: Optional[str] = None,
 ):
     """Generic epoch loop. `batch_iter_fn(epoch)` yields host batches."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     step_fn = jax.jit(train_step)
+    jlog = None
+    if json_log_path:
+        import os
+
+        os.makedirs(os.path.dirname(json_log_path) or ".", exist_ok=True)
+        jlog = open(json_log_path, "a")
+
+    def jwrite(rec):
+        if jlog is not None:
+            jlog.write(json.dumps(rec) + "\n")
+            jlog.flush()
     for epoch in range(start_epoch, epochs):
         for h in hooks:
             h.before_train_epoch(epoch, getattr(h, "pipeline", None))
@@ -77,13 +90,19 @@ def run_training(
                 log_fn(
                     f"epoch {epoch} iter {n_iter} ({dt:.2f}s/it) {msg}"
                 )
+                jwrite({"mode": "train", "epoch": epoch, "iter": n_iter,
+                        "time": dt, **metrics})
         log_fn(
             f"epoch {epoch} done in {(time.time() - t_ep) / 60:.1f} min "
             f"({n_iter} iters)"
         )
+        jwrite({"mode": "epoch", "epoch": epoch, "iters": n_iter,
+                "minutes": (time.time() - t_ep) / 60})
         if work_dir:
             path = ckpt.save_checkpoint(
                 work_dir, state, epoch + 1, keep_last=keep_last
             )
             log_fn(f"saved {path}")
+    if jlog is not None:
+        jlog.close()
     return state

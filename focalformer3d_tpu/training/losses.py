@@ -147,6 +147,20 @@ def detection_loss(
         "num_pos": num_pos,
         "matched_ious": jnp.sum(jnp.where(pos, overlaps, 0.0)) / num_pos,
     }
+    # per-decoder-round diagnostics matching the reference's observable
+    # loss surface (layer_N_loss_cls/_bbox, focal_decoder.py:1189-1217);
+    # the optimized total is unchanged.
+    for r in range(R):
+        metrics[f"layer_{r}_loss_cls"] = L.sigmoid_focal_loss(
+            heat[:, r].reshape(-1, ncls), labels[:, r].reshape(-1),
+            weights=None, avg_factor=num_pos,
+            loss_weight=lcfg.loss_cls_weight,
+        )
+        metrics[f"layer_{r}_loss_bbox"] = L.l1_loss(
+            preds[:, r], tgt[:, r],
+            weights=pos[:, r, :, None].astype(preds.dtype) * cw,
+            avg_factor=num_pos, loss_weight=lcfg.loss_bbox_weight,
+        )
     total = loss_cls + loss_bbox + loss_heatmap
 
     # ---- denoising gt-group losses ----

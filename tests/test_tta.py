@@ -97,3 +97,50 @@ class TestMerge:
         assert m.sum() == 1  # identical after mapping back -> NMS merges
         kept = np.asarray(out["bboxes"])[m][0]
         np.testing.assert_allclose(kept[:2], [5.0, -2.0], atol=1e-4)
+
+
+def test_scale_flip_roundtrip_identity():
+    """Scaling points by s and mapping predicted boxes back by 1/s (plus
+    flips) recovers the original boxes (VERDICT item 6)."""
+    from focalformer3d_tpu.core.merge_augs import mapping_back, tta_augs
+
+    rng = np.random.RandomState(0)
+    boxes = rng.uniform(-20, 20, size=(7, 9)).astype(np.float32)
+    boxes[:, 3:6] = rng.uniform(1, 4, size=(7, 3))
+    for scale, fh, fv in tta_augs({
+        "pts_scale_ratio": (1.0, 1.06, 0.96),
+        "flip_horizontal": True, "flip_vertical": True,
+    }):
+        # forward-transform the boxes like the points were transformed
+        b = boxes.copy()
+        b[:, :3] *= scale
+        b[:, 3:6] *= scale
+        b[:, 7:9] *= scale
+        if fh:
+            b[:, 1] = -b[:, 1]
+            b[:, 6] = -b[:, 6]
+            b[:, 8] = -b[:, 8]
+        if fv:
+            b[:, 0] = -b[:, 0]
+            b[:, 6] = np.pi - b[:, 6]
+            b[:, 7] = -b[:, 7]
+        back = np.asarray(mapping_back(
+            jnp.asarray(b), jnp.asarray(scale), jnp.asarray(fh),
+            jnp.asarray(fv),
+        ))
+        yaw_diff = np.abs(
+            np.angle(np.exp(1j * (back[:, 6] - boxes[:, 6]))))
+        np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-4)
+        np.testing.assert_allclose(back[:, 7:9], boxes[:, 7:9], atol=1e-4)
+        assert float(yaw_diff.max()) < 1e-4
+
+
+def test_tta_augs_expansion():
+    from focalformer3d_tpu.core.merge_augs import tta_augs
+
+    augs = tta_augs({"pts_scale_ratio": (1.0, 1.06, 0.96),
+                     "flip_horizontal": True, "flip_vertical": True})
+    assert len(augs) == 12  # 3 scales x 4 flip combos
+    assert augs[0] == (1.0, False, False)
+    augs = tta_augs({})
+    assert len(augs) == 4

@@ -18,8 +18,24 @@ LINE = re.compile(
 
 
 def parse(path):
+    """Parse either the plain-text log or the JSON-lines train_log.jsonl
+    (one {"mode": "train", epoch, iter, time, <loss keys>} per point)."""
+    import json
+
     rows = []
     for line in open(path):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("mode") != "train":
+                continue
+            rec = dict(rec)
+            rec["s_per_it"] = float(rec.pop("time", 0.0))
+            rows.append(rec)
+            continue
         m = LINE.search(line)
         if not m:
             continue

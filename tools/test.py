@@ -112,9 +112,11 @@ def main():
         print(f"loaded {args.checkpoint}")
     eval_step = jax.jit(make_eval_step(cfg, args.max_out))
 
-    flips = [(False, False)]
+    augs = [(1.0, False, False)]
     if args.tta:
-        flips = [(False, False), (True, False), (False, True), (True, True)]
+        from focalformer3d_tpu.core.merge_augs import tta_augs
+
+        augs = tta_augs(cfg_all.get("tta", {}))
 
     predictions = {}
     gt = {}
@@ -123,9 +125,13 @@ def main():
         s = ds.get_sample(i, rng)
         token = s["token"]
         aug_results = []
-        for fh, fv in flips:
+        for scale, fh, fv in augs:
             sa = dict(s)
             pts = s["points"].copy()
+            if scale != 1.0:
+                # reference MultiScaleFlipAug3D: pts_scale_ratio scales
+                # the point cloud before the forward pass
+                pts[:, :3] = pts[:, :3] * scale
             if fh:
                 pts[:, 1] = -pts[:, 1]
             if fv:
@@ -157,9 +163,9 @@ def main():
         else:
             merged = merge_tta_results(
                 TTAConfig(num_classes=len(classes)), aug_results,
-                scales=[1.0] * len(flips),
-                flips_h=[f[0] for f in flips],
-                flips_v=[f[1] for f in flips],
+                scales=[a[0] for a in augs],
+                flips_h=[a[1] for a in augs],
+                flips_v=[a[2] for a in augs],
             )
             m = np.asarray(merged["mask"])
             predictions[token] = {

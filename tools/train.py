@@ -237,6 +237,9 @@ def main():
         work_dir=work_dir, keep_last=args.keep_last,
         log_interval=args.log_interval, hooks=[fading],
         shard_fn=lambda b: mesh_lib.shard_batch(mesh, b),
+        json_log_path=(
+            str(Path(work_dir) / "train_log.jsonl") if work_dir else None
+        ),
     )
     print("training complete")
 
