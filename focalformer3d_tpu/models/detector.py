@@ -136,6 +136,11 @@ class FocalFormer3D(nn.Module):
             )(flat, bb_train)
             fpn = FPN(256, cfg.img_fpn_outs, name="img_neck")(feats, bb_train)
             lvl0 = fpn[0]
+            if cfg.freeze_img:
+                # reference freeze_img detaches the image backbone+neck
+                # (focalformer3d.py:80-106); stop_gradient also skips the
+                # whole backward through ResNet/FPN
+                lvl0 = jax.lax.stop_gradient(lvl0)
             lvl0 = lvl0.reshape((B, N) + lvl0.shape[1:])
             lidar2img = img_data["lidar2img"]
             inv = jnp.linalg.inv(lidar2img)
@@ -176,6 +181,7 @@ class FocalFormer3D(nn.Module):
                 engine = (
                     "pallas" if jax.default_backend() == "tpu" else "voxel"
                 )
+            pts_train = train and not cfg.freeze_pts
             bev = SparseEncoder(
                 sparse_shape=cfg.sparse_shape,
                 output_channels=cfg.sparse_out_channels,
@@ -185,16 +191,20 @@ class FocalFormer3D(nn.Module):
                 out_capacity=cfg.out_capacity,
                 engine=engine,
                 name="pts_middle_encoder",
-            )(feats, voxel_data["coords"], valid, train)
+            )(feats, voxel_data["coords"], valid, pts_train)
 
             sec = SECOND(
                 out_channels=cfg.second_channels,
                 layer_nums=cfg.second_layers,
                 name="pts_backbone",
-            )(bev, train)
+            )(bev, pts_train)
             fpn_bev = SECONDFPN(
                 out_channels=cfg.fpn_channels, name="pts_neck"
-            )(sec, train)
+            )(sec, pts_train)
+            if cfg.freeze_pts:
+                # staged LC finetune freezes the whole point branch
+                # (focalformer3d.py:118-131)
+                fpn_bev = jax.lax.stop_gradient(fpn_bev)
 
         # ---- fusion neck ----
         pts_feat_conv, stage_feats = FocalEncoder(
@@ -211,6 +221,7 @@ class FocalFormer3D(nn.Module):
             max_points_height=cfg.max_points_height,
             lss=cfg.lss,
             bev_shape=cfg.bev_shape,
+            freeze_camlss=cfg.freeze_camlss,
             name="imgpts_neck",
         )(neck_img_data, fpn_bev, train)
 

@@ -135,6 +135,7 @@ class FocalEncoder(nn.Module):
     max_points_height: int = 10
     lss: LSSConfig = LSSConfig()
     bev_shape: Tuple[int, int] = (180, 180)
+    freeze_camlss: bool = False  # stop_gradient after LSS (staged finetune)
 
     @nn.compact
     def __call__(
@@ -153,8 +154,12 @@ class FocalEncoder(nn.Module):
                     img_data["cam2lidar_trans"],
                     img_data.get("img_aug"),
                     img_data.get("bev_aug"),
-                    train,
+                    train and not self.freeze_camlss,
                 )
+                if self.freeze_camlss:
+                    # reference freeze_camlss detaches the LSS branch
+                    # (focalformer3d.py:107-117)
+                    img_feat = jax.lax.stop_gradient(img_feat)
                 if not self.input_pts and not self.multistage_heatmap:
                     # camera-only model: cam BEV feeds the head directly
                     # (reference focal_encoder.py:196-198).

@@ -53,6 +53,7 @@ def run_training(
     hooks: Iterable = (),
     shard_fn: Optional[Callable] = None,
     json_log_path: Optional[str] = None,
+    save_checkpoints: bool = True,
 ):
     """Generic epoch loop. `batch_iter_fn(epoch)` yields host batches."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -98,7 +99,7 @@ def run_training(
         )
         jwrite({"mode": "epoch", "epoch": epoch, "iters": n_iter,
                 "minutes": (time.time() - t_ep) / 60})
-        if work_dir:
+        if work_dir and save_checkpoints:
             path = ckpt.save_checkpoint(
                 work_dir, state, epoch + 1, keep_last=keep_last
             )

@@ -51,7 +51,13 @@ def make_optimizer(
     step_ratio_up: float = 0.4,
     base_b1: float = 0.9,
     cyclic: bool = True,
+    trainable_mask=None,
 ):
+    """AdamW + cyclic schedules; ``trainable_mask`` (a callable
+    params -> bool pytree, or a bool pytree) routes frozen subtrees
+    through optax.masked so they get neither updates nor weight decay —
+    the reference's per-branch freeze semantics (focalformer3d.py:80-131)
+    without spending optimizer state or decay on frozen params."""
     if cyclic:
         lr_sched = cyclic_schedule(
             base_lr, total_steps, lr_target_ratio, step_ratio_up
@@ -73,4 +79,7 @@ def make_optimizer(
             ),
         )
 
-    return _make(learning_rate=lr_sched, b1=b1_sched)
+    tx = _make(learning_rate=lr_sched, b1=b1_sched)
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx

@@ -43,36 +43,54 @@ def _img_data_from_batch(batch: Dict[str, jax.Array]):
     return {k: batch[k] for k in _IMG_KEYS if k in batch}
 
 
-def freeze_mask(cfg: DetectorConfig, params: Any) -> Any:
-    """Pytree of 0/1 multipliers implementing the reference freeze flags.
-
-    freeze_pts covers the point branch + shared_conv_pts (the reference
-    freezes pts_voxel/middle/backbone/neck and imgpts_neck.shared_conv_pts);
-    freeze_img covers img_backbone/img_neck; freeze_camlss the LSS module.
-    """
-    frozen_prefixes = []
+def _frozen_prefixes(cfg: DetectorConfig):
+    """Module-path prefixes frozen by the reference's staged finetune
+    flags (focalformer3d.py:80-131): freeze_pts covers the point branch +
+    imgpts_neck.shared_conv_pts; freeze_img covers img_backbone/img_neck;
+    freeze_camlss the LSS module."""
+    prefixes = []
     if cfg.freeze_img:
-        frozen_prefixes += ["img_backbone", "img_neck"]
+        prefixes += ["img_backbone", "img_neck"]
     if cfg.freeze_camlss:
-        frozen_prefixes += ["imgpts_neck/cam_lss"]
+        prefixes += ["imgpts_neck/cam_lss"]
     if cfg.freeze_pts:
-        frozen_prefixes += [
+        prefixes += [
             "vfe", "pts_middle_encoder", "pts_backbone", "pts_neck",
             "imgpts_neck/shared_conv_pts",
         ]
+    return prefixes
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
-    def path_str(path):
-        return "/".join(
-            getattr(p, "key", str(getattr(p, "idx", p))) for p in path
-        )
+def _path_str(path):
+    return "/".join(
+        getattr(p, "key", str(getattr(p, "idx", p))) for p in path
+    )
+
+
+def freeze_mask(cfg: DetectorConfig, params: Any) -> Any:
+    """Pytree of 0/1 multipliers implementing the reference freeze flags
+    (kept for tests/diagnostics; updates are frozen via trainable_mask +
+    optax.masked)."""
+    prefixes = _frozen_prefixes(cfg)
 
     def mask_leaf(path, leaf):
-        s = path_str(path)
-        frozen = any(s.startswith(p) or f"/{p}" in s for p in frozen_prefixes)
+        s = _path_str(path)
+        frozen = any(s.startswith(p) or f"/{p}" in s for p in prefixes)
         return jnp.zeros((), leaf.dtype) if frozen else jnp.ones(
             (), leaf.dtype
+        )
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def trainable_mask(cfg: DetectorConfig, params: Any) -> Any:
+    """Pure-python bool pytree for optax.masked: True = trainable."""
+    prefixes = _frozen_prefixes(cfg)
+
+    def mask_leaf(path, leaf):
+        s = _path_str(path)
+        return not any(
+            s.startswith(p) or f"/{p}" in s for p in prefixes
         )
 
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
@@ -153,11 +171,9 @@ def make_train_step(
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        if cfg.freeze_img or cfg.freeze_camlss or cfg.freeze_pts:
-            fmask = freeze_mask(cfg, state.params)
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g * m, grads, fmask
-            )
+        # frozen branches: stop_gradient in the detector keeps their
+        # backward cheap; optax.masked (training/optim.py trainable_mask)
+        # keeps their params and optimizer state untouched.
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

@@ -1,0 +1,60 @@
+"""Two-process CPU cluster: jax.distributed init + global data mesh +
+cross-process collective and batch assembly (VERDICT item 7)."""
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, os.environ["REPO_ROOT"])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from focalformer3d_tpu.parallel import mesh as M
+
+    ok = M.init_distributed()
+    assert ok, "init_distributed returned False"
+    assert jax.process_count() == 2
+    mesh = M.make_global_mesh()
+    assert mesh.devices.size == 4  # 2 procs x 2 virtual devices
+
+    pid = jax.process_index()
+    local = np.full((2, 3), float(pid), np.float32)  # per-process shard
+    batch = M.shard_global_batch(mesh, {"x": local})
+    assert batch["x"].shape == (4, 3)  # global batch assembled
+
+    s = jax.jit(lambda b: jnp.sum(b["x"]))(batch)
+    got = M.gather_to_host(s)
+    assert float(np.ravel(got)[0]) == 6.0  # 0*6 + 1*6
+    if M.is_main_process():
+        print("MULTIHOST_OK")
+""")
+
+
+def test_two_process_cpu_cluster(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env_base = {
+        **os.environ,
+        "REPO_ROOT": str(ROOT),
+        "JAX_COORDINATOR_ADDRESS": "127.0.0.1:29511",
+        "JAX_NUM_PROCESSES": "2",
+    }
+    procs = []
+    for pid in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    assert "MULTIHOST_OK" in outs[0][0]

@@ -65,10 +65,21 @@ def main():
         create_train_state, make_train_step,
     )
 
+    # multi-host: env-driven (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID, or TPU-pod auto-detect) — the reference's
+    # dist_train.sh / torch.distributed.launch equivalent
+    multihost = mesh_lib.init_distributed()
+    main_proc = mesh_lib.is_main_process()
+    if multihost:
+        print(f"process {jax.process_index()}/{jax.process_count()} "
+              f"({jax.local_device_count()} local devices)")
+
     cfg_all = get_config(args.config)
     cfg, lcfg, recipe = cfg_all["model"], cfg_all["loss"], cfg_all["train"]
     n_dev = jax.device_count()
-    batch_size = args.batch_size or recipe.samples_per_device * n_dev
+    # global batch; each process feeds its local slice
+    batch_size_global = args.batch_size or recipe.samples_per_device * n_dev
+    batch_size = max(1, batch_size_global // jax.process_count())
     epochs = args.epochs or recipe.total_epochs
     work_dir = args.work_dir or f"work_dirs/{args.config}"
 
@@ -112,7 +123,9 @@ def main():
             load_interval=cfg_all.get("load_interval", 1),
         )
         pipeline = ds.pipeline
-        indices = np.arange(len(ds))
+        indices = np.arange(len(ds))[
+            jax.process_index()::jax.process_count()
+        ]
         steps_per_epoch = max(1, len(indices) // batch_size)
         if args.iters_per_epoch:
             steps_per_epoch = args.iters_per_epoch
@@ -162,7 +175,7 @@ def main():
         pipeline = ds.pipeline
         indices = (
             np.arange(len(ds)) if args.no_cbgs else ds.cbgs_indices(rng_np)
-        )
+        )[jax.process_index()::jax.process_count()]
         steps_per_epoch = max(1, len(indices) // batch_size)
         if args.iters_per_epoch:
             steps_per_epoch = args.iters_per_epoch
@@ -182,15 +195,22 @@ def main():
                 b.pop("tokens", None)
                 yield {k: jnp.asarray(v) for k, v in b.items()}
 
+    from focalformer3d_tpu.training.train_step import trainable_mask
+
+    has_freeze = cfg.freeze_img or cfg.freeze_camlss or cfg.freeze_pts
     tx = optim.make_optimizer(
         base_lr=recipe.base_lr, weight_decay=recipe.weight_decay,
         total_steps=epochs * steps_per_epoch, grad_clip=recipe.grad_clip,
         lr_target_ratio=recipe.lr_target_ratio,
         momentum_target_ratio=recipe.momentum_target_ratio,
         step_ratio_up=recipe.step_ratio_up,
+        trainable_mask=(
+            (lambda params: trainable_mask(cfg, params))
+            if has_freeze else None
+        ),
     )
 
-    print(f"devices: {n_dev}, batch {batch_size}, "
+    print(f"devices: {n_dev}, global batch {batch_size_global}, "
           f"{steps_per_epoch} iters/epoch, {epochs} epochs")
     init_batch = next(iter(batch_iter(0)))
     _, state = create_train_state(
@@ -224,8 +244,11 @@ def main():
     if start_epoch:
         print(f"auto-resumed from epoch {start_epoch}")
 
-    mesh = mesh_lib.make_mesh()
+    mesh = mesh_lib.make_global_mesh() if multihost else mesh_lib.make_mesh()
     state = mesh_lib.replicate(mesh, state)
+    shard_batch_fn = (
+        mesh_lib.shard_global_batch if multihost else mesh_lib.shard_batch
+    )
 
     fading = Fading(recipe.fade_epoch)
     fading.pipeline = pipeline
@@ -236,10 +259,13 @@ def main():
         rng=jax.random.PRNGKey(args.seed + 1),
         work_dir=work_dir, keep_last=args.keep_last,
         log_interval=args.log_interval, hooks=[fading],
-        shard_fn=lambda b: mesh_lib.shard_batch(mesh, b),
+        shard_fn=lambda b: shard_batch_fn(mesh, b),
         json_log_path=(
-            str(Path(work_dir) / "train_log.jsonl") if work_dir else None
+            str(Path(work_dir) / "train_log.jsonl")
+            if work_dir and main_proc else None
         ),
+        log_fn=print if main_proc else (lambda *_: None),
+        save_checkpoints=main_proc,
     )
     print("training complete")
 
