@@ -43,7 +43,8 @@ class FocalDecoderConfig:
     inner_layers: int = 3  # deformable layers per round
     num_heads: int = 8
     nms_kernel_size: int = 3
-    mask_heatmap_mode: str = "poscls"  # 'poscls' | 'pos'
+    mask_heatmap_mode: str = "poscls"  # 'poscls' | 'pos' | 'boxcls'
+    heatmap_box: bool = False  # dense per-class box heads (boxcls mode)
     multistage_heatmap: int = 1
     reuse_first_heatmap: bool = True
     extra_feat: bool = True
@@ -128,6 +129,68 @@ def _dilate_mask(mask: jax.Array, k: int, kernel1: Sequence[int]):
     return dil
 
 
+def _gather_query_boxes(cfg, dense_boxes, bev_pos, top_i, ncls, HW):
+    """Per-query dense box regressions at the selected (class, cell)
+    indices, with the reference's clipping (focal_decoder.py:708-722).
+    dense_boxes: (B, H, W, box_dim*ncls); returns (B, P, box_dim)."""
+    B = dense_boxes.shape[0]
+    bd = dense_boxes.shape[-1] // ncls
+    # (B, HW, ncls, bd) -> flat (B, ncls*HW, bd) class-major like top_i
+    df = dense_boxes.reshape(B, HW, ncls, bd)
+    df = jnp.transpose(df, (0, 2, 1, 3)).reshape(B, ncls * HW, bd)
+    qb = jnp.take_along_axis(
+        df, top_i[..., None], axis=1
+    )  # (B, P, bd)
+    qb = jax.lax.stop_gradient(qb)  # reference detaches for masking
+    cell = bev_pos[top_i % HW]  # (B, P, 2) grid coords
+    xy = qb[..., 0:2] + jnp.floor(cell)
+    z = jnp.clip(qb[..., 2:3], -5.0, 3.0)
+    dims = jnp.clip(qb[..., 3:6], jnp.log(0.5), jnp.log(15.0))
+    sincos = jnp.clip(qb[..., 6:8], -1.0, 1.0)
+    rest = jnp.clip(qb[..., 8:], -15.0, 15.0)
+    return jnp.concatenate([xy, z, dims, sincos, rest], axis=-1)
+
+
+def _boxcls_mask(cfg, qb, top_cls, bev_pos, top_i, shape, dtype):
+    """'boxcls' selected mask: poscls cells + BEV cells inside the
+    selected queries' (shrunk) predicted boxes, painted at the query's
+    class channel (reference focal_decoder.py:742-776)."""
+    from ..ops.points_in_boxes import points_in_boxes
+
+    B, H, W, ncls = shape
+    HW = H * W
+    # decode to world boxes [x, y, z(bottom), dx, dy, dz, yaw]
+    center = bc.decode_center(cfg.coder, qb[..., 0:2])
+    pcr = cfg.pc_range
+    cx = jnp.clip(center[..., 0], pcr[0], pcr[3])
+    cy = jnp.clip(center[..., 1], pcr[1], pcr[4])
+    dims = jnp.exp(qb[..., 3:6])
+    margin = 1.0
+    dxy = jnp.clip(dims[..., 0:2] - margin, 0.7, 10.0)
+    yaw = jnp.arctan2(qb[..., 6], qb[..., 7])
+    boxes = jnp.stack(
+        [cx, cy, jnp.full_like(cx, -100.0), dxy[..., 0], dxy[..., 1],
+         jnp.full_like(cx, 1000.0), yaw], axis=-1,
+    )  # (B, P, 7)
+    cells = bc.decode_center(cfg.coder, bev_pos)  # (HW, 2) world xy
+    cells3 = jnp.concatenate(
+        [cells, jnp.zeros((HW, 1), cells.dtype)], axis=-1
+    )
+
+    def one(bx, cls_of_query, ti):
+        idx = points_in_boxes(cells3, bx)  # (HW,) query idx or -1
+        cls_cell = jnp.where(
+            idx >= 0, cls_of_query[jnp.clip(idx, 0)], ncls
+        )
+        selb = jax.nn.one_hot(cls_cell, ncls + 1, dtype=dtype)[:, :ncls]
+        selp = jnp.zeros((ncls * HW,), dtype).at[ti].set(1.0)
+        selp = selp.reshape(ncls, HW).T  # (HW, ncls)
+        return jnp.maximum(selb, selp)
+
+    sel = jax.vmap(one)(boxes, top_cls, top_i)  # (B, HW, ncls)
+    return sel.reshape(B, H, W, ncls)
+
+
 class _HeatmapHead(nn.Module):
     num_classes: int
     hidden: int
@@ -137,6 +200,26 @@ class _HeatmapHead(nn.Module):
         # reference ConvModule bias='auto' + BN -> conv carries no bias
         x = ConvBN(self.hidden, 3)(x, train)
         return nn.Conv(self.num_classes, (3, 3), use_bias=True)(x)
+
+
+class _HeatmapBoxHead(nn.Module):
+    """Dense per-class box regression for the 'heatmap_box' /'boxcls'
+    path (reference focal_decoder.py:247-251, 708-722). The reference
+    never enables it in a shipped config; its dedicated training loss
+    lives in the dead get_heatmap_bboxes path, so these heads are
+    config-gated and detached when used for masking (as the reference
+    detaches them)."""
+
+    num_classes: int
+    hidden: int
+    box_dim: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.hidden, 3)(x, train)
+        return nn.Conv(
+            self.box_dim * self.num_classes, (3, 3), use_bias=True
+        )(x)
 
 
 class FocalDecoder(nn.Module):
@@ -231,10 +314,22 @@ class FocalDecoder(nn.Module):
 
             # accumulative masking (reference focal_decoder.py:724-782):
             # 'poscls' suppresses the selected (class, position) cells;
-            # 'pos' suppresses the positions across ALL classes. ('boxcls'
-            # additionally paints predicted-box interiors; it requires the
-            # per-stage heatmap_box head that no shipped config enables.)
-            if cfg.mask_heatmap_mode == "pos":
+            # 'pos' suppresses the positions across ALL classes; 'boxcls'
+            # additionally paints the interiors of the selected queries'
+            # predicted boxes (per class) using the dense heatmap_box
+            # regressions.
+            if cfg.mask_heatmap_mode == "boxcls":
+                if not cfg.heatmap_box:  # pragma: no cover - config error
+                    raise ValueError("boxcls masking needs heatmap_box")
+                db = _HeatmapBoxHead(
+                    ncls, cfg.hidden, name=f"heatmap_box_head{i}"
+                )(stage_feats[i], train)
+                qb = _gather_query_boxes(cfg, db, bev_pos, top_i, ncls, HW)
+                sel = _boxcls_mask(
+                    cfg, qb, top_cls, bev_pos, top_i, (B, H, W, ncls),
+                    lidar_feat.dtype,
+                )
+            elif cfg.mask_heatmap_mode == "pos":
                 selp = jnp.zeros((B, HW), lidar_feat.dtype)
                 selp = jax.vmap(lambda s, idx: s.at[idx].set(1.0))(
                     selp, top_p

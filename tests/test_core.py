@@ -307,3 +307,38 @@ class TestHeuristicAssigner:
         )
         # pred0 (cls0) -> gt0; pred1 (cls1) -> gt1; pred2 too far -> -1
         np.testing.assert_array_equal(out, [0, 1, -1])
+
+
+def test_nuscenes_calc_ap_matches_devkit_definition():
+    """Validate the internal evaluator's AP against hand-computed values
+    from the devkit calc_ap definition (101-pt interp, 0.1 recall and
+    precision clips) on a canned prediction set (VERDICT item 5)."""
+    from focalformer3d_tpu.core.eval_nuscenes import accumulate_class
+
+    # 3 GT boxes; 4 preds: 2 TPs (d<2m), 1 FP, then 1 more TP.
+    def b(x):
+        return np.array([x, 0.0, 0, 2, 2, 2, 0, 0, 0], np.float64)
+
+    gts = [{"sample": "s0", "box": b(0.0)},
+           {"sample": "s0", "box": b(10.0)},
+           {"sample": "s0", "box": b(20.0)}]
+    preds = [
+        {"sample": "s0", "box": b(0.5), "score": 0.9},
+        {"sample": "s0", "box": b(10.5), "score": 0.8},
+        {"sample": "s0", "box": b(40.0), "score": 0.7},
+        {"sample": "s0", "box": b(20.5), "score": 0.6},
+    ]
+    r = accumulate_class(preds, gts, dist_th=2.0)
+    # ranking: TP TP FP TP -> rec [1/3, 2/3, 2/3, 1], prec [1, 1, 2/3, 3/4]
+    # devkit AP: interp precision on the 101-pt recall grid, drop
+    # recall <= 0.1, subtract 0.1 precision floor, /0.9.
+    rec = np.array([1 / 3, 2 / 3, 2 / 3, 1.0])
+    prec = np.array([1.0, 1.0, 2 / 3, 3 / 4])
+    grid = np.linspace(0, 1, 101)
+    prec_i = np.interp(grid, rec, prec, right=0)
+    expected = float(np.maximum(prec_i[11:] - 0.1, 0).mean() / 0.9)
+    assert abs(r["ap"] - expected) < 1e-9
+    # sanity: a perfect single-box case gives AP = 1
+    gts1 = [{"sample": "s0", "box": b(0.0)}]
+    preds1 = [{"sample": "s0", "box": b(0.1), "score": 0.9}]
+    assert abs(accumulate_class(preds1, gts1, 2.0)["ap"] - 1.0) < 1e-9

@@ -137,3 +137,42 @@ class TestDetectorSmoke:
         masks = np.asarray(out["multistage_masks"])
         assert masks[:, 0].min() == 1.0  # first stage: nothing masked
         assert masks[:, 1].min() == 0.0  # second stage: something masked
+
+
+def test_boxcls_masking_mode_forward():
+    """'boxcls' heatmap masking with dense box heads runs end-to-end and
+    changes the accumulative mask vs 'poscls' (VERDICT item 9)."""
+    import dataclasses
+
+    from focalformer3d_tpu.configs import get_config
+    from focalformer3d_tpu.models.focal_decoder import FocalDecoder
+
+    cfg_all = get_config("Tiny_L")
+    dec_cfg = dataclasses.replace(
+        cfg_all["model"].decoder, mask_heatmap_mode="boxcls",
+        heatmap_box=True, multistage_heatmap=2,
+    )
+    rng = np.random.RandomState(0)
+    H = Wd = 8
+    Cc = dec_cfg.hidden
+    lidar_feat = jnp.asarray(rng.randn(1, H, Wd, Cc).astype(np.float32))
+    n_stage = dec_cfg.total_stages - (1 if dec_cfg.reuse_first_heatmap
+                                      else 0)
+    feats = [jnp.asarray(rng.randn(1, H, Wd, Cc).astype(np.float32))
+             for _ in range(n_stage)]
+    if dec_cfg.extra_feat:
+        feats.append(
+            jnp.asarray(rng.randn(1, H, Wd, Cc).astype(np.float32)))
+    dec = FocalDecoder(dec_cfg)
+    vars_ = dec.init(jax.random.PRNGKey(0), lidar_feat, feats, False)
+    out = dec.apply(vars_, lidar_feat, feats, False)
+    assert np.isfinite(np.asarray(out["center"])).all()
+    # the box-interior painting must suppress more cells than poscls
+    m_box = np.asarray(out["multistage_masks"])
+    dec_cfg2 = dataclasses.replace(dec_cfg, mask_heatmap_mode="poscls",
+                                   heatmap_box=False)
+    dec2 = FocalDecoder(dec_cfg2)
+    vars2 = dec2.init(jax.random.PRNGKey(0), lidar_feat, feats, False)
+    out2 = dec2.apply(vars2, lidar_feat, feats, False)
+    m_pos = np.asarray(out2["multistage_masks"])
+    assert m_box.sum() <= m_pos.sum()

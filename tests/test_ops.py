@@ -226,3 +226,28 @@ def test_hard_voxelize_simple_matches_two_step():
         np.asarray(two["voxel_mask"]), np.asarray(fused["voxel_mask"]))
     np.testing.assert_allclose(
         np.asarray(feats_two), np.asarray(fused["features"]), atol=1e-5)
+
+
+def test_points_in_boxes_matches_numpy_oracle():
+    from focalformer3d_tpu.data.nuscenes import points_in_rbbox
+    from focalformer3d_tpu.ops.points_in_boxes import (
+        points_in_boxes, points_in_boxes_mask,
+    )
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+    boxes = np.stack([
+        rng.uniform(-8, 8, 20), rng.uniform(-8, 8, 20),
+        rng.uniform(-2, 0, 20), rng.uniform(1, 5, 20),
+        rng.uniform(1, 5, 20), rng.uniform(1, 3, 20),
+        rng.uniform(-np.pi, np.pi, 20),
+    ], -1).astype(np.float32)
+    oracle = points_in_rbbox(pts, boxes)  # (P, N) bool
+    got_mask = np.asarray(points_in_boxes_mask(
+        jnp.asarray(pts), jnp.asarray(boxes)))
+    np.testing.assert_array_equal(got_mask, oracle)
+
+    idx = np.asarray(points_in_boxes(jnp.asarray(pts), jnp.asarray(boxes)))
+    for p in range(len(pts)):
+        inside = np.nonzero(oracle[p])[0]
+        assert idx[p] == (inside[0] if len(inside) else -1)

@@ -38,7 +38,11 @@ def parse_args():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--tta", action="store_true",
                    help="double-flip TTA with box voting")
-    p.add_argument("--official-eval", action="store_true")
+    p.add_argument("--official-eval", action="store_true",
+                   help="run the nuscenes-devkit DetectionEval on the "
+                        "submission (needs --out, raw dataset, devkit)")
+    p.add_argument("--eval-set", default="val")
+    p.add_argument("--nusc-version", default="v1.0-trainval")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     return p.parse_args()
 
@@ -200,6 +204,10 @@ def main():
         )
     print(json.dumps({k: round(v, 4) for k, v in metrics.items()},
                      indent=1))
+    if dataset != "waymo" and "nds_no_attr" in metrics:
+        print("note: nds_no_attr averages 9 terms (no attribute error — "
+              "info pkls carry no attributes) and is NOT comparable to "
+              "published NDS; use --official-eval for devkit NDS.")
 
     if args.out and dataset != "waymo":
         infos_by_token = {info["token"]: info for info in ds.infos}
@@ -211,13 +219,53 @@ def main():
             res.tracking_from_detections(sub, args.tracking_out)
             print(f"wrote {args.tracking_out}")
 
-    if args.official_eval:
-        try:
-            from nuscenes import NuScenes  # noqa: F401
-            print("official devkit found — run nuscenes eval on the "
-                  "submission json externally or wire it here.")
-        except ImportError:
-            print("nuscenes-devkit not installed; used internal evaluator.")
+    if args.official_eval and dataset != "waymo":
+        official = run_official_nuscenes_eval(
+            args.out, args.data_root, args.eval_set, args.nusc_version,
+        )
+        if official is not None:
+            print("official nuScenes devkit metrics:")
+            print(json.dumps(official, indent=1))
+
+
+def run_official_nuscenes_eval(submission_json, data_root, eval_set,
+                               version):
+    """Run the official nuscenes-devkit DetectionEval on a submission
+    json (reference tools/test.py:245-254 -> dataset.evaluate). Returns
+    the devkit metrics dict, or None if the devkit / raw dataset is not
+    available (the internal evaluator has already been reported)."""
+    if not submission_json:
+        print("--official-eval needs --out <submission.json>")
+        return None
+    try:
+        from nuscenes import NuScenes
+        from nuscenes.eval.detection.config import config_factory
+        from nuscenes.eval.detection.evaluate import DetectionEval
+    except ImportError:
+        print("nuscenes-devkit not installed; used internal evaluator.")
+        return None
+    try:
+        nusc_obj = NuScenes(
+            version=version, dataroot=data_root, verbose=False
+        )
+        ev = DetectionEval(
+            nusc_obj,
+            config=config_factory("detection_cvpr_2019"),
+            result_path=submission_json,
+            eval_set=eval_set,
+            output_dir=str(Path(submission_json).parent / "official_eval"),
+            verbose=False,
+        )
+        metrics = ev.main(render_curves=False)
+        return {
+            "mAP": metrics["mean_ap"],
+            "NDS": metrics["nd_score"],
+            **{k: v for k, v in metrics.items()
+               if k.startswith("mean_dist_aps") or k.startswith("tp_")},
+        }
+    except Exception as e:  # raw dataset missing, bad token set, ...
+        print(f"official eval failed: {type(e).__name__}: {e}")
+        return None
 
 
 if __name__ == "__main__":
