@@ -190,6 +190,7 @@ class FocalFormer3D(nn.Module):
                 capacities=cfg.capacities,
                 out_capacity=cfg.out_capacity,
                 engine=engine,
+                assume_csr=True,  # ops/voxelize emits CSR order
                 name="pts_middle_encoder",
             )(feats, voxel_data["coords"], valid, pts_train)
 

@@ -238,9 +238,12 @@ class SparseEncoder(nn.Module):
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
     engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas'
+    # voxel sets from ops/voxelize.py arrive CSR-ordered; the detector
+    # sets this so the level-0 reorder pass and rows scatter are skipped
+    assume_csr: bool = False
     plan_tile: int = 256
     plan_window: int = 256
-    plan_overflow: int = 8192
+    plan_overflow: int = 4096
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -352,14 +355,22 @@ class SparseEncoder(nn.Module):
 
             return jax.vmap(one)(table, out_coords, out_valid)
 
-        # reorder the level-0 table into CSR order once, then all rulebooks
-        # hold CSR positions directly (no rows-gather per rulebook; the
-        # strided-conv outputs are CSR-ordered by construction).
-        table0 = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
-            coords, valid, shape
-        )
-        coords, valid, features = jax.vmap(sc.csr_reorder)(table0, features)
-        table = jax.vmap(sc.csr_table)(table0, coords, valid)
+        # rulebooks hold CSR positions directly, so the level-0 table must
+        # be CSR-ordered: either the voxelizer already emits that order
+        # (assume_csr) or reorder once here.
+        if self.assume_csr:
+            features = jnp.where(valid[..., None], features, 0)
+            table = jax.vmap(sc.build_table_csr, in_axes=(0, 0, None))(
+                coords, valid, shape
+            )
+        else:
+            table0 = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
+                coords, valid, shape
+            )
+            coords, valid, features = jax.vmap(sc.csr_reorder)(
+                table0, features
+            )
+            table = jax.vmap(sc.csr_table)(table0, coords, valid)
         cap = features.shape[1]
         if pallas:
             rules = None

