@@ -11,6 +11,7 @@ are ~8 scans/s.  The driver target is >=2x A100 per-scan throughput
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -72,6 +73,68 @@ def main():
     _ = float(last)  # host fetch of the last queued result syncs the queue
     p50 = (time.perf_counter() - t0) / iters
     scans_per_sec = 1.0 / p50
+
+    # per-stage breakdown (stderr; stdout stays one JSON line for the
+    # driver): pipelined deltas between cumulative cuts of the graph
+    try:
+        from focalformer3d_tpu.models.sparse_encoder import SparseEncoder
+
+        enc = SparseEncoder(
+            sparse_shape=cfg.sparse_shape,
+            output_channels=cfg.sparse_out_channels,
+            encoder_channels=cfg.encoder_channels,
+            down_paddings=cfg.down_paddings,
+            capacities=cfg.capacities,
+            out_capacity=cfg.out_capacity,
+            engine="pallas" if jax.default_backend() == "tpu" else "voxel",
+            assume_csr=True,
+        )
+        ev = {"params": variables["params"]["pts_middle_encoder"],
+              "batch_stats": variables.get("batch_stats", {}).get(
+                  "pts_middle_encoder", {})}
+
+        @jax.jit
+        def cut_vox(points, mask):
+            v = preprocess_points(cfg, points, mask)
+            return v["features"].sum()
+
+        @jax.jit
+        def cut_enc(ev, points, mask):
+            v = preprocess_points(cfg, points, mask)
+            return enc.apply(
+                ev, v["features"], v["coords"], v["voxel_mask"]
+            ).sum()
+
+        @jax.jit
+        def cut_model(variables, points, mask):
+            v = preprocess_points(cfg, points, mask)
+            out = model.apply(variables, v, None, False)
+            return out["center"].sum()
+
+        def ptime(fn, *args, iters=10):
+            r = fn(*args)
+            _ = float(jnp.ravel(r)[0])
+            r = fn(*args)
+            _ = float(jnp.ravel(r)[0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(*args)
+            _ = float(jnp.ravel(r)[0])
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        t_v = ptime(cut_vox, points, mask)
+        t_e = ptime(cut_enc, ev, points, mask)
+        t_m = ptime(cut_model, variables, points, mask)
+        t_full = p50 * 1e3
+        print(
+            f"stage breakdown (ms/scan): voxelize+vfe {t_v:.1f} | "
+            f"sparse encoder {t_e - t_v:.1f} | backbone+neck+decoder "
+            f"{t_m - t_e:.1f} | get_bboxes {max(t_full - t_m, 0):.1f} | "
+            f"total {t_full:.1f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # breakdown must never break the gate metric
+        print(f"stage breakdown unavailable: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "nuScenes-L single-scan inference throughput (1 chip)",

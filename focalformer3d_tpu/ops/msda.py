@@ -5,17 +5,8 @@ kernel (decoder cross-attention, config
 /root/reference/projects/configs/focalformer3d/FocalFormer3D_L.py:297-302:
 3 levels, 4 points, 8 heads). The learned projections live in
 ``models/deformable_decoder.py``; this module is the pure sampling +
-weighted-sum math so it can be unit-tested against a NumPy oracle.
-
-TPU formulation: gathers are row-rate-bound, so instead of 4 corner
-gathers per (query, head, level, point) the value map is corner-packed
-once per call — a per-head table over the (H+1)x(W+1) grid of possible
-floor corners whose row [i, j] holds the 2x2 texel neighborhood of
-(y0, x0) = (i-1, j-1), with out-of-bounds corners already zero. Each
-sample point then needs ONE row gather (all heads batched into a single
-flat gather) followed by a VPU lerp, cutting gather rows 4x and fusing
-the former per-level/per-head grid_sample loop (24 calls) into one
-gather per level.
+weighted-sum math so it can be unit-tested against a NumPy oracle and later
+swapped for a fused Pallas kernel without touching the model.
 """
 from __future__ import annotations
 
@@ -24,26 +15,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-
-def _corner_pack(v: jax.Array, num_heads: int) -> jax.Array:
-    """(H, W, C) -> (nH, (H+1)*(W+1), 4*Dh) corner-packed per-head table."""
-    H, W, C = v.shape
-    Dh = C // num_heads
-    vp = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
-    c00 = vp[: H + 1, : W + 1]
-    c01 = vp[: H + 1, 1:]
-    c10 = vp[1:, : W + 1]
-    c11 = vp[1:, 1:]
-    heads = []
-    for h in range(num_heads):
-        s = slice(h * Dh, (h + 1) * Dh)
-        heads.append(
-            jnp.concatenate(
-                [c00[..., s], c01[..., s], c10[..., s], c11[..., s]],
-                axis=-1,
-            )
-        )
-    return jnp.stack(heads, 0).reshape(num_heads, (H + 1) * (W + 1), 4 * Dh)
+from .bilinear import grid_sample_norm
 
 
 def msda_sample(
@@ -54,50 +26,20 @@ def msda_sample(
 ) -> jax.Array:
     """Returns (Q, C). Bilinear-samples each level per head at the given
     normalized locations and sums with attention weights (grid_sample
-    align_corners=False, padding_mode='zeros' parity with mmcv)."""
+    align_corners=False convention, matching mmcv's kernel)."""
     L = len(value_levels)
     C = value_levels[0].shape[-1]
-    nH = num_heads
-    Dh = C // nH
+    Dh = C // num_heads
     Q = locations.shape[0]
-    head_off = (
-        jnp.arange(nH, dtype=jnp.int32)[None, :, None]
-    )  # (1, nH, 1)
-    out = jnp.zeros((Q, nH, Dh), jnp.float32)
+    out = jnp.zeros((Q, num_heads, Dh), value_levels[0].dtype)
     for lvl in range(L):
         v = value_levels[lvl]
         H, W = v.shape[0], v.shape[1]
-        table = _corner_pack(v, nH)  # (nH, HWp, 4*Dh)
-        hwp = (H + 1) * (W + 1)
-
-        g = 2.0 * locations[:, :, lvl] - 1.0  # (Q, nH, P, 2)
-        x = ((g[..., 0] + 1.0) * W - 1.0) * 0.5
-        y = ((g[..., 1] + 1.0) * H - 1.0) * 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx = x - x0
-        wy = y - y0
-        xi = x0.astype(jnp.int32)
-        yi = y0.astype(jnp.int32)
-        inb = (xi >= -1) & (xi <= W - 1) & (yi >= -1) & (yi <= H - 1)
-        xi = jnp.clip(xi, -1, W - 1)
-        yi = jnp.clip(yi, -1, H - 1)
-        idx = head_off * hwp + (yi + 1) * (W + 1) + (xi + 1)  # (Q, nH, P)
-        rows = table.reshape(nH * hwp, 4 * Dh)[idx]  # (Q, nH, P, 4*Dh)
-        rows = jnp.where(inb[..., None], rows, 0.0)
-        r = rows.reshape(Q, nH, -1, 4, Dh).astype(jnp.float32)
-        cw = jnp.stack(
-            [
-                (1 - wx) * (1 - wy),
-                wx * (1 - wy),
-                (1 - wx) * wy,
-                wx * wy,
-            ],
-            axis=-1,
-        )  # (Q, nH, P, 4)
-        samp = jnp.einsum("qhpcd,qhpc->qhpd", r, cw.astype(jnp.float32))
-        out = out + jnp.sum(
-            samp * weights[:, :, lvl][..., None].astype(jnp.float32),
-            axis=2,
-        )
-    return out.reshape(Q, C).astype(value_levels[0].dtype)
+        vh = v.reshape(H, W, num_heads, Dh)
+        grid = 2.0 * locations[:, :, lvl] - 1.0  # (Q, nH, P, 2)
+        for h in range(num_heads):
+            s = grid_sample_norm(vh[:, :, h], grid[:, h])  # (Q, P, Dh)
+            out = out.at[:, h].add(
+                jnp.sum(s * weights[:, h, lvl][..., None], axis=1)
+            )
+    return out.reshape(Q, C)

@@ -218,50 +218,16 @@ def build_conv_rules(
     V = in_table.capacity
     n_col = H * W
 
-    # x-adjacent taps read 3 consecutive meta rows, so gather one packed
-    # (kx*4)-word row per (site, dy band) instead of kx 16B rows — the
-    # gather is row-rate-bound on TPU, so fewer/wider rows win.
-    meta = in_table.meta
-    if kx > 1:
-        core = meta[:-1]
-        shifts = []
-        for dx in range(kx):
-            off = dx - 1  # center tap dx=1
-            if off < 0:
-                s = jnp.concatenate([meta[-1:], core[:off]], 0)
-            elif off == 0:
-                s = core
-            else:
-                s = jnp.concatenate([core[off:], meta[-1:]], 0)
-            shifts.append(s)
-        metap = jnp.concatenate(shifts, axis=1)  # (HW, kx*4)
-        metap = jnp.concatenate(
-            [metap, jnp.zeros((1, 4 * kx), jnp.int32)], 0
-        )
-    else:
-        metap = meta
-
     z0 = out_coords[:, 0] * sz - pz
     per_bev = []
     for dy in range(ky):
-        yi = out_coords[:, 1] * sy - py + dy
-        y_ok = out_valid & (yi >= 0) & (yi < H)
-        if kx > 1:
-            xc = out_coords[:, 2] * sx - px + 1  # center tap column
-            colq = jnp.where(y_ok, jnp.clip(yi * W + xc, 0, n_col - 1),
-                             n_col)
-            m3 = metap[colq]  # (Vo, kx*4) one fetch per band
         for dx in range(kx):
+            yi = out_coords[:, 1] * sy - py + dy
             xi = out_coords[:, 2] * sx - px + dx
-            bev_ok = y_ok & (xi >= 0) & (xi < W)
-            if kx > 1:
-                w0 = jnp.where(bev_ok, m3[:, 4 * dx], 0)
-                w1 = jnp.where(bev_ok, m3[:, 4 * dx + 1], 0)
-                start = m3[:, 4 * dx + 2]
-            else:
-                colq = jnp.where(bev_ok, yi * W + xi, n_col)
-                m = metap[colq]  # (Vo, 4)
-                w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
+            bev_ok = out_valid & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            colq = jnp.where(bev_ok, yi * W + xi, n_col)
+            m = in_table.meta[colq]  # (Vo, 4) one 16B fetch per BEV tap
+            w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
             taps = []
             for dz in range(kz):
                 zi = z0 + dz
