@@ -105,7 +105,9 @@ class WaymoDataset:
             sample["gt_boxes"] = boxes9
             sample["gt_names"] = names[keep]
             # Waymo difficulty: LEVEL_2 if annotated difficulty >= 2 or
-            # fewer than 5 lidar points in box (official definition)
+            # at most 5 lidar points in box (official definition:
+            # waymo-open-dataset compute_detection_metrics assigns L2 to
+            # boxes with num_lidar_points <= 5)
             diff = np.asarray(
                 annos.get("difficulty", np.zeros(len(names))), np.int32
             )[keep]
@@ -113,7 +115,7 @@ class WaymoDataset:
                 annos.get("num_points_in_gt", np.full(len(names), 999)),
                 np.int32,
             )[keep]
-            sample["gt_l2_only"] = (diff >= 2) | (npts < 5)
+            sample["gt_l2_only"] = (diff >= 2) | (npts <= 5)
         if self.pipeline is not None:
             sample = self.pipeline(sample, rng)
         return sample

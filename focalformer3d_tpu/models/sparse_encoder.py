@@ -330,6 +330,7 @@ class SparseEncoder(nn.Module):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
         pallas = self.engine == "pallas"
+        overflow_counts = []  # per-plan true spill counts (see sow below)
 
         def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
                        ks, stride, pad):
@@ -353,7 +354,9 @@ class SparseEncoder(nn.Module):
                 )
                 return plan, plan_t
 
-            return jax.vmap(one)(table, out_coords, out_valid)
+            pair = jax.vmap(one)(table, out_coords, out_valid)
+            overflow_counts.append(pair[0].n_overflow)
+            return pair
 
         # rulebooks hold CSR positions directly, so the level-0 table must
         # be CSR-ordered: either the voxelizer already emits that order
@@ -460,6 +463,22 @@ class SparseEncoder(nn.Module):
         x = _DownConvBN(
             self.output_channels, kernel_size=ks_out, name="conv_out"
         )(x, down_rules, out_valid, train, down_plans)
+
+        if pallas and overflow_counts:
+            # Surface the true window-spill counts: the exact-correction
+            # list holds at most plan_overflow rules per plan, so
+            # max_plan_overflow > plan_overflow means rules were DROPPED
+            # and the conv outputs are no longer exact. Read back via
+            # apply(..., mutable=['diagnostics']) or capture_intermediates
+            # (bench.py reports it; tools/benchmark.py asserts on it).
+            worst = jnp.max(jnp.stack(
+                [jnp.max(c) for c in overflow_counts]
+            ))
+            self.sow("diagnostics", "max_plan_overflow", worst)
+            self.sow(
+                "diagnostics", "plan_overflow_truncated",
+                (worst > self.plan_overflow).astype(jnp.int32),
+            )
 
         dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
             x, out_coords, out_valid, out_shape

@@ -197,17 +197,23 @@ def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
     )[order]
     csum = jnp.cumsum(jnp.where(svalid[:, None], pc, 0.0), axis=0)
 
-    vslot = jnp.where(is_start & (voxel_id < V), voxel_id, V + 1)
+    # Dropped (non-start) entries get DISTINCT out-of-bounds sentinels
+    # (V + 1 + pos) so the whole index vector is genuinely unique and the
+    # unique_indices fast path is contractually valid; a shared sentinel
+    # would violate the hint (JAX documents UB) even though the
+    # duplicates are dropped. indices_are_sorted is NOT claimed: the
+    # sentinels interleave with the ascending voxel ids.
+    vslot = jnp.where(is_start & (voxel_id < V), voxel_id, V + 1 + pos)
     start = jnp.full((V + 1,), N, jnp.int32).at[vslot].set(
-        pos, mode="drop", indices_are_sorted=True, unique_indices=True
+        pos, mode="drop", unique_indices=True
     )[:V]
     is_end = svalid & (
         jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
         | ~jnp.concatenate([svalid[1:], jnp.zeros((1,), bool)])
     )
-    eslot = jnp.where(is_end & (voxel_id < V), voxel_id, V + 1)
+    eslot = jnp.where(is_end & (voxel_id < V), voxel_id, V + 1 + pos)
     run_end = jnp.full((V + 1,), N, jnp.int32).at[eslot].set(
-        pos + 1, mode="drop", indices_are_sorted=True, unique_indices=True
+        pos + 1, mode="drop", unique_indices=True
     )[:V]
     end = jnp.maximum(jnp.minimum(start + P, run_end), start)
     count = jnp.where(start < N, end - start, 0)
@@ -219,8 +225,7 @@ def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
         points.dtype
     )
     out_coords = jnp.zeros((V + 1, 3), jnp.int32).at[vslot].set(
-        coords[order], mode="drop", indices_are_sorted=True,
-        unique_indices=True,
+        coords[order], mode="drop", unique_indices=True,
     )[:V]
     voxel_mask = count > 0
     return {

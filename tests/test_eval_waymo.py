@@ -96,3 +96,94 @@ def test_iou_threshold_per_class():
     )
     m = ew.evaluate_detections(preds, gts, CLASSES)
     assert abs(m["L2/Pedestrian_AP"] - 1.0) < 1e-6
+
+
+def test_iou3d_matrix_matches_jax_oracle():
+    """NumPy vectorized rotated-IoU vs the device core.iou implementation."""
+    import jax.numpy as jnp
+
+    from focalformer3d_tpu.core.iou import boxes_iou_3d
+
+    rng = np.random.RandomState(3)
+    p = np.concatenate([
+        rng.uniform(-5, 5, (12, 2)), rng.uniform(-1, 1, (12, 1)),
+        rng.uniform(0.5, 4, (12, 3)), rng.uniform(-np.pi, np.pi, (12, 1)),
+    ], axis=1)
+    g = np.concatenate([
+        rng.uniform(-5, 5, (9, 2)), rng.uniform(-1, 1, (9, 1)),
+        rng.uniform(0.5, 4, (9, 3)), rng.uniform(-np.pi, np.pi, (9, 1)),
+    ], axis=1)
+    got = ew.iou3d_matrix(p, g)
+    # boxes_iou_3d also takes bottom-z boxes (mmdet3d LiDAR convention)
+    want = np.asarray(boxes_iou_3d(jnp.asarray(p), jnp.asarray(g)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_missing_l2_only_key_with_mixed_classes():
+    """gt without 'l2_only' plus boxes of another class must not raise
+    (regression: default had gm.sum() length, indexed by a len(labels)
+    mask)."""
+    preds = {"t0": {
+        "boxes": np.asarray([_box(0, 0)], np.float64),
+        "scores": np.asarray([0.9]),
+        "labels": np.asarray([0], np.int32),
+    }}
+    gts = {"t0": {
+        "boxes": np.asarray([_box(0, 0), _box(5, 5)], np.float64),
+        "labels": np.asarray([0, 1], np.int32),  # one Car, one Pedestrian
+    }}
+    m = ew.evaluate_detections(preds, gts, CLASSES)
+    assert abs(m["L2/Car_AP"] - 1.0) < 1e-6
+
+
+def test_three_frame_hand_computed_ap():
+    """3-frame scenario with hand-computed AP/APH at both levels.
+
+    Frame A: 1 L1 gt, matched by pred s=0.9 with 90-deg heading error.
+    Frame B: 1 L2-only gt, matched by pred s=0.8 (exact heading).
+    Frame C: 1 L1 gt, missed; plus an FP pred s=0.7.
+    L2 (all 3 gt counted): ranked rows: (0.9 TP), (0.8 TP), (0.7 FP).
+      precision at recalls 1/3, 2/3: 1.0, 1.0; max recall 2/3.
+      AP = 67/101 * 1 + ... 101-pt: thresholds t <= 2/3 give max prec 1.
+      t in {0, .01, ..., .66} -> 67 points of 1.0 => AP = 67/101.
+      APH rows: hacc 0.5, 1.0 in rank order; cumulative (0.5, 1.5)/(1,2)
+      -> prec_h (0.5, 0.75); for t <= 1/3: max 0.75; t in (1/3, 2/3]: 0.75.
+      => APH = 67/101 * 0.75.
+    L1 (2 counted gt: A and C): rows: (0.9 TP h=0.5), frame-B pred
+      matches an uncounted gt -> ignored, (0.7 FP).
+      recall hits 1/2; precisions: 1.0 then 0.5 at the FP.
+      AP = 51/101 * 1.0; APH = 51/101 * 0.5.
+    """
+    sq = dict(dx=2.0, dy=2.0)
+    preds = {
+        "a": {"boxes": np.asarray([_box(0, 0, yaw=np.pi / 2, **sq)]),
+              "scores": np.asarray([0.9]), "labels": np.asarray([0])},
+        "b": {"boxes": np.asarray([_box(0, 0, **sq)]),
+              "scores": np.asarray([0.8]), "labels": np.asarray([0])},
+        "c": {"boxes": np.asarray([_box(50, 50, **sq)]),
+              "scores": np.asarray([0.7]), "labels": np.asarray([0])},
+    }
+    gts = {
+        "a": {"boxes": np.asarray([_box(0, 0, **sq)]),
+              "labels": np.asarray([0]), "l2_only": np.asarray([False])},
+        "b": {"boxes": np.asarray([_box(0, 0, **sq)]),
+              "labels": np.asarray([0]), "l2_only": np.asarray([True])},
+        "c": {"boxes": np.asarray([_box(10, 0, **sq)]),
+              "labels": np.asarray([0]), "l2_only": np.asarray([False])},
+    }
+    m = ew.evaluate_detections(preds, gts, ("Car",))
+    assert abs(m["L2/Car_AP"] - 67 / 101) < 1e-9
+    assert abs(m["L2/Car_APH"] - 67 / 101 * 0.75) < 1e-9
+    assert abs(m["L1/Car_AP"] - 51 / 101) < 1e-9
+    assert abs(m["L1/Car_APH"] - 51 / 101 * 0.5) < 1e-9
+
+
+def test_l1_l2_split_semantics():
+    """data/waymo.py pins LEVEL_2 to (difficulty >= 2) OR (points <= 5):
+    exactly-5-point boxes are L2-only (official definition)."""
+    diff = np.asarray([0, 2, 0, 0, 1], np.int32)
+    npts = np.asarray([100, 100, 5, 6, 4], np.int32)
+    l2 = (diff >= 2) | (npts <= 5)
+    np.testing.assert_array_equal(
+        l2, [False, True, True, False, True]
+    )
