@@ -18,17 +18,24 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from focalformer3d_tpu.configs import get_config
     from focalformer3d_tpu.data import synthetic
     from focalformer3d_tpu.models.detector import (
-        FocalFormer3D, preprocess_points,
+        FocalFormer3D, preprocess_points, with_compute_dtype,
     )
     from focalformer3d_tpu.models import focal_decoder as fd
 
     cfg = get_config("FocalFormer3D_L")["model"]
+    # deployment inference runs bfloat16 on the dense BEV path (params and
+    # head outputs stay f32; see tests/test_model_smoke.py bf16-vs-f32)
+    bench_dtype = os.environ.get("FF3D_BENCH_DTYPE", "bfloat16")
+    if bench_dtype != "float32":
+        cfg = with_compute_dtype(cfg, bench_dtype)
     model = FocalFormer3D(cfg)
 
     rng = np.random.RandomState(0)
@@ -66,6 +73,7 @@ def main():
     res, eps = infer(variables, points, mask, eps)
     _ = float(eps)
 
+    extra = {}
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
@@ -126,6 +134,7 @@ def main():
         t_e = ptime(cut_enc, ev, points, mask)
         t_m = ptime(cut_model, variables, points, mask)
         t_full = p50 * 1e3
+        extra["p50_latency_ms"] = round(t_full, 1)
         print(
             f"stage breakdown (ms/scan): voxelize+vfe {t_v:.1f} | "
             f"sparse encoder {t_e - t_v:.1f} | backbone+neck+decoder "
@@ -136,11 +145,33 @@ def main():
     except Exception as e:  # breakdown must never break the gate metric
         print(f"stage breakdown unavailable: {e}", file=sys.stderr)
 
+    try:
+        # occupancy + pallas-plan spill diagnostics (bench realism +
+        # exactness observability — VERDICT r2 items 1d/5, ADVICE medium 1)
+        occ = int(jnp.sum(vox0["voxel_mask"]))
+        _, diag = jax.jit(
+            lambda v, x: model.apply(v, x, None, False,
+                                     mutable=["diagnostics"])
+        )(variables, vox0)
+        d = diag["diagnostics"].get("pts_middle_encoder", {})
+        ovf = int(jnp.max(jnp.asarray(
+            d.get("max_plan_overflow", (0,))[0])))
+        trunc = int(jnp.max(jnp.asarray(
+            d.get("plan_overflow_truncated", (0,))[0])))
+        extra.update(occupied_voxels=occ, max_plan_overflow=ovf,
+                     plan_overflow_truncated=bool(trunc))
+        print(f"occupancy {occ} | max plan overflow {ovf} | "
+              f"truncated {bool(trunc)}", file=sys.stderr)
+    except Exception as e:  # diagnostics must never break the gate metric
+        print(f"diagnostics unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "nuScenes-L single-scan inference throughput (1 chip)",
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / 16.0, 3),
+        "compute_dtype": bench_dtype,
+        **extra,
     }))
 
 

@@ -9,7 +9,7 @@ re-derives query positions from the prediction head instead).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,7 @@ class MSDeformAttention(nn.Module):
     num_levels: int = 3
     num_points: int = 4
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -54,16 +55,16 @@ class MSDeformAttention(nn.Module):
         offsets = nn.Dense(
             nH * L * P * 2, kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: offset_bias_init(key),
-            name="sampling_offsets",
-        )(query).reshape(B, Q, nH, L, P, 2)
+            dtype=self.dtype, name="sampling_offsets",
+        )(query).reshape(B, Q, nH, L, P, 2).astype(jnp.float32)
         attn = nn.Dense(nH * L * P, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
-                        name="attention_weights")(query)
+                        dtype=self.dtype, name="attention_weights")(query)
         attn = jax.nn.softmax(attn.reshape(B, Q, nH, L * P), axis=-1)
         attn = attn.reshape(B, Q, nH, L, P)
 
         # value_proj shared across levels
-        vp = nn.Dense(C, name="value_proj")
+        vp = nn.Dense(C, dtype=self.dtype, name="value_proj")
         values = [vp(v) for v in value_levels]
 
         norm = jnp.stack(
@@ -78,15 +79,16 @@ class MSDeformAttention(nn.Module):
         out = jax.vmap(
             lambda vl, l, a: msda_sample(vl, l, a, nH), in_axes=(0, 0, 0)
         )(values, loc, attn)
-        out = nn.Dense(C, name="output_proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return identity + out
+        return (identity + out).astype(out.dtype)
 
 
 class MultiHeadSelfAttention(nn.Module):
     embed_dim: int = 128
     num_heads: int = 8
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, query_pos=None, attn_mask=None, train=False):
@@ -95,17 +97,21 @@ class MultiHeadSelfAttention(nn.Module):
         nH = self.num_heads
         Dh = C // nH
         qk_in = query + query_pos if query_pos is not None else query
-        q = nn.Dense(C, name="q")(qk_in).reshape(B, Q, nH, Dh)
-        k = nn.Dense(C, name="k")(qk_in).reshape(B, Q, nH, Dh)
-        v = nn.Dense(C, name="v")(query).reshape(B, Q, nH, Dh)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(qk_in).reshape(
+            B, Q, nH, Dh)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(qk_in).reshape(
+            B, Q, nH, Dh)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(query).reshape(
+            B, Q, nH, Dh)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(Dh)
         if attn_mask is not None:
-            logits = jnp.where(attn_mask[:, None, :, :], -1e9, logits)
-        w = jax.nn.softmax(logits, axis=-1)
+            big_neg = jnp.asarray(-1e9, logits.dtype)
+            logits = jnp.where(attn_mask[:, None, :, :], big_neg, logits)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, Q, C)
-        out = nn.Dense(C, name="out")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="out")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return query + out
+        return (query + out).astype(out.dtype)
 
 
 class DecoderLayer(nn.Module):
@@ -115,25 +121,28 @@ class DecoderLayer(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, value_levels, reference_points,
                  query_pos=None, attn_mask=None, train=False):
+        dt = self.dtype
         query = MultiHeadSelfAttention(
-            self.embed_dim, self.num_heads, self.dropout, name="self_attn"
+            self.embed_dim, self.num_heads, self.dropout, dt,
+            name="self_attn"
         )(query, query_pos, attn_mask, train)
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(dtype=dt, name="norm1")(query)
         query = MSDeformAttention(
             self.embed_dim, self.num_heads, self.num_levels, self.num_points,
-            self.dropout, name="cross_attn",
+            self.dropout, dt, name="cross_attn",
         )(query, value_levels, reference_points, query_pos, train)
-        query = nn.LayerNorm(name="norm2")(query)
-        y = nn.Dense(self.ffn_dim, name="ffn1")(query)
+        query = nn.LayerNorm(dtype=dt, name="norm2")(query)
+        y = nn.Dense(self.ffn_dim, dtype=dt, name="ffn1")(query)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(self.embed_dim, name="ffn2")(y)
+        y = nn.Dense(self.embed_dim, dtype=dt, name="ffn2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        query = nn.LayerNorm(name="norm3")(query + y)
+        query = nn.LayerNorm(dtype=dt, name="norm3")(query + y)
         return query
 
 
@@ -145,6 +154,7 @@ class DeformableDecoder(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, value_levels, reference_points,
@@ -152,7 +162,7 @@ class DeformableDecoder(nn.Module):
         for i in range(self.num_layers):
             query = DecoderLayer(
                 self.embed_dim, self.num_heads, self.num_levels,
-                self.num_points, self.ffn_dim, self.dropout,
+                self.num_points, self.ffn_dim, self.dropout, self.dtype,
                 name=f"layer{i}",
             )(query, value_levels, reference_points, query_pos, attn_mask,
               train)

@@ -77,6 +77,11 @@ class DetectorConfig:
     freeze_img: bool = False
     freeze_camlss: bool = False
     freeze_pts: bool = False
+    # compute dtype for the dense BEV path (SECOND/FPN/neck; the decoder
+    # head follows decoder.dtype — use with_compute_dtype() to set both).
+    # Params and head outputs stay float32; "bfloat16" halves activation
+    # HBM traffic on the bandwidth-bound dense stage.
+    compute_dtype: str = "float32"
     decoder: FocalDecoderConfig = dataclasses.field(
         default_factory=FocalDecoderConfig
     )
@@ -84,6 +89,19 @@ class DetectorConfig:
     @property
     def point_dim(self) -> int:
         return 5
+
+    @property
+    def jdtype(self):
+        return (None if self.compute_dtype == "float32"
+                else jnp.dtype(self.compute_dtype))
+
+
+def with_compute_dtype(cfg: "DetectorConfig", dtype: str) -> "DetectorConfig":
+    """Set the compute dtype consistently on the detector AND its decoder."""
+    return dataclasses.replace(
+        cfg, compute_dtype=dtype,
+        decoder=dataclasses.replace(cfg.decoder, dtype=dtype),
+    )
 
 
 def preprocess_points(cfg: DetectorConfig, points: jax.Array,
@@ -197,10 +215,12 @@ class FocalFormer3D(nn.Module):
             sec = SECOND(
                 out_channels=cfg.second_channels,
                 layer_nums=cfg.second_layers,
+                dtype=cfg.jdtype,
                 name="pts_backbone",
             )(bev, pts_train)
             fpn_bev = SECONDFPN(
-                out_channels=cfg.fpn_channels, name="pts_neck"
+                out_channels=cfg.fpn_channels, dtype=cfg.jdtype,
+                name="pts_neck"
             )(sec, pts_train)
             if cfg.freeze_pts:
                 # staged LC finetune freezes the whole point branch
@@ -223,6 +243,7 @@ class FocalFormer3D(nn.Module):
             lss=cfg.lss,
             bev_shape=cfg.bev_shape,
             freeze_camlss=cfg.freeze_camlss,
+            dtype=cfg.jdtype,
             name="imgpts_neck",
         )(neck_img_data, fpn_bev, train)
 

@@ -69,6 +69,13 @@ class FocalDecoderConfig:
         -61.2, -61.2, -10.0, 61.2, 61.2, 10.0
     )
     score_threshold: float = 0.0
+    # compute dtype for the head's convs / attention / FFNs ("float32" |
+    # "bfloat16"); params and prediction outputs stay float32
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return None if self.dtype == "float32" else jnp.dtype(self.dtype)
 
     @property
     def total_stages(self) -> int:
@@ -194,12 +201,15 @@ def _boxcls_mask(cfg, qb, top_cls, bev_pos, top_i, shape, dtype):
 class _HeatmapHead(nn.Module):
     num_classes: int
     hidden: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # reference ConvModule bias='auto' + BN -> conv carries no bias
-        x = ConvBN(self.hidden, 3)(x, train)
-        return nn.Conv(self.num_classes, (3, 3), use_bias=True)(x)
+        x = ConvBN(self.hidden, 3, dtype=self.dtype)(x, train)
+        y = nn.Conv(self.num_classes, (3, 3), use_bias=True,
+                    dtype=self.dtype)(x)
+        return y.astype(jnp.float32)  # logits feed loss/sigmoid/top-k
 
 
 class _HeatmapBoxHead(nn.Module):
@@ -213,13 +223,15 @@ class _HeatmapBoxHead(nn.Module):
     num_classes: int
     hidden: int
     box_dim: int = 10
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.hidden, 3)(x, train)
+        x = ConvBN(self.hidden, 3, dtype=self.dtype)(x, train)
         return nn.Conv(
-            self.box_dim * self.num_classes, (3, 3), use_bias=True
-        )(x)
+            self.box_dim * self.num_classes, (3, 3), use_bias=True,
+            dtype=self.dtype,
+        )(x).astype(jnp.float32)
 
 
 class FocalDecoder(nn.Module):
@@ -263,12 +275,14 @@ class FocalDecoder(nn.Module):
 
         bev_pos = _bev_pos(H, W)  # (HW, 2)
 
-        heatmap_head = _HeatmapHead(ncls, cfg.hidden, name="heatmap_head")
+        jdt = cfg.jdtype
+        heatmap_head = _HeatmapHead(ncls, cfg.hidden, jdt,
+                                    name="heatmap_head")
         dense_heatmap = heatmap_head(lidar_feat, train)  # (B,H,W,ncls)
 
-        class_enc = nn.Dense(cfg.hidden, name="class_encoding")
+        class_enc = nn.Dense(cfg.hidden, dtype=jdt, name="class_encoding")
 
-        acc_mask = jnp.ones((B, H, W, ncls), lidar_feat.dtype)
+        acc_mask = jnp.ones((B, H, W, ncls), jnp.float32)
         q_feats, q_pos, q_score, q_labels = [], [], [], []
         heatmap_train, multistage_masks = [], []
         last_heat = None
@@ -277,7 +291,7 @@ class FocalDecoder(nn.Module):
                 dh = dense_heatmap
             else:
                 dh = _HeatmapHead(
-                    ncls, cfg.hidden, name=f"heatmap_head_img{i}"
+                    ncls, cfg.hidden, jdt, name=f"heatmap_head_img{i}"
                 )(stage_feats[i], train)
                 if i == 0:
                     heatmap_train.append(dense_heatmap)
@@ -322,7 +336,7 @@ class FocalDecoder(nn.Module):
                 if not cfg.heatmap_box:  # pragma: no cover - config error
                     raise ValueError("boxcls masking needs heatmap_box")
                 db = _HeatmapBoxHead(
-                    ncls, cfg.hidden, name=f"heatmap_box_head{i}"
+                    ncls, cfg.hidden, dtype=jdt, name=f"heatmap_box_head{i}"
                 )(stage_feats[i], train)
                 qb = _gather_query_boxes(cfg, db, bev_pos, top_i, ncls, HW)
                 sel = _boxcls_mask(
@@ -425,11 +439,11 @@ class FocalDecoder(nn.Module):
         levels = [pyramid_src]
         if cfg.multiscale:
             levels.append(
-                ConvBN(cfg.hidden, 3, strides=2,
+                ConvBN(cfg.hidden, 3, strides=2, dtype=jdt,
                        name="dconv")(levels[-1], train)
             )
             levels.append(
-                ConvBN(cfg.hidden, 3, strides=2,
+                ConvBN(cfg.hidden, 3, strides=2, dtype=jdt,
                        name="dconv2")(levels[-1], train)
             )
         level_pos = [_bev_pos(H, W)]
@@ -455,7 +469,8 @@ class FocalDecoder(nn.Module):
         for r in range(cfg.num_decoder_layers):
             ref = query_pos / norm_wh  # (B, Qn, 2) in [0,1]
             sine = sine_embed_2d(ref)
-            pos_embed = MLP(cfg.hidden, cfg.hidden, 2, name=f"pos_embed{r}")
+            pos_embed = MLP(cfg.hidden, cfg.hidden, 2, dtype=jdt,
+                            name=f"pos_embed{r}")
             qpe = pos_embed(sine)
 
             if cfg.bevpos:
@@ -492,16 +507,16 @@ class FocalDecoder(nn.Module):
                 # roi_mlp is shared across rounds (reference self.roi_mlp)
                 for li in range(3):
                     ch = cfg.hidden_roi if li < 2 else cfg.hidden
-                    y = nn.Dense(ch, use_bias=False,
+                    y = nn.Dense(ch, use_bias=False, dtype=jdt,
                                  name=f"roi_mlp_{li}")(y)
                     y = nn.BatchNorm(
-                        use_running_average=not train,
+                        use_running_average=not train, dtype=jdt,
                         name=f"roi_bn_{li}",
                     )(y)
                     y = nn.relu(y)
                     y = nn.Dropout(cfg.roi_dropout,
                                    deterministic=not train)(y)
-                query_feat = query_feat + y
+                query_feat = (query_feat + y).astype(y.dtype)
 
             query_feat = DeformableDecoder(
                 num_layers=cfg.inner_layers,
@@ -509,6 +524,7 @@ class FocalDecoder(nn.Module):
                 num_heads=cfg.num_heads,
                 num_levels=len(levels),
                 num_points=4,
+                dtype=jdt,
                 name=f"decoder{r}",
             )(query_feat, vals, ref, qpe, attn_mask, train)
 
@@ -521,7 +537,8 @@ class FocalDecoder(nn.Module):
             if cfg.classaware_reg:
                 heads = {k: (v[0] * ncls, v[1]) for k, v in heads.items()}
             heads["heatmap"] = (ncls, 2)
-            res = PredictionFFN(heads, name=f"pred{r}")(query_feat, train)
+            res = PredictionFFN(heads, dtype=jdt,
+                                name=f"pred{r}")(query_feat, train)
             if cfg.classaware_reg:
                 lab = jnp.clip(query_labels, 0, ncls - 1)
                 for k in ("center", "height", "dim", "rot", "vel"):

@@ -39,14 +39,16 @@ class LocalContextBlock(nn.Module):
 
     features: int
     kernel_size: int = 9
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query_map, key_map, train: bool = False):
-        q = ConvBN(self.features, 1, name="q_proj0")(query_map, train)
-        q = ConvBN(self.features, 1, name="q_proj1")(q, train)
-        k = ConvBN(self.features, 1, name="k_proj0")(key_map, train)
-        k = ConvBN(self.features, 1, name="k_proj1")(k, train)
-        v = ConvBN(self.features, 1, name="v_proj")(key_map, train)
+        dt = self.dtype
+        q = ConvBN(self.features, 1, dtype=dt, name="q_proj0")(query_map, train)
+        q = ConvBN(self.features, 1, dtype=dt, name="q_proj1")(q, train)
+        k = ConvBN(self.features, 1, dtype=dt, name="k_proj0")(key_map, train)
+        k = ConvBN(self.features, 1, dtype=dt, name="k_proj1")(k, train)
+        v = ConvBN(self.features, 1, dtype=dt, name="v_proj")(key_map, train)
         out = jax.vmap(
             lambda qq, kk, vv: local_attention(qq, kk, vv, self.kernel_size)
         )(q, k, v)
@@ -63,6 +65,7 @@ class FocalEncoderLayer(nn.Module):
     max_points_height: int = 10
     pc_range: Tuple[float, ...] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
     img_input_shape: Tuple[int, int] = (448, 800)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img_feat, lidar_feat,
@@ -89,25 +92,30 @@ class FocalEncoderLayer(nn.Module):
             i2p_feat = img_feat  # cam BEV (lss) or previous I2P output
 
         # ---- BEV self-mixing + integration ----
+        dt = self.dtype
         if self.iterbev == "bevfusionmb2":
-            p2p = InvertedResidual(self.hidden, 2, name="P_IML")(
+            p2p = InvertedResidual(self.hidden, 2, dtype=dt, name="P_IML")(
                 lidar_feat, train
             )
-            aug = InvertedResidual(self.hidden, 1, name="P_out_proj")(
+            aug = InvertedResidual(self.hidden, 1, dtype=dt,
+                                   name="P_out_proj")(
                 jnp.concatenate([i2p_feat, p2p], axis=-1), train
             )
-            new_lidar = InvertedResidual(self.hidden, 1, name="P_integration")(
+            new_lidar = InvertedResidual(self.hidden, 1, dtype=dt,
+                                         name="P_integration")(
                 jnp.concatenate([aug, lidar_feat], axis=-1), train
             )
         elif self.iterbev == "bevfusion":
-            p2p = LocalContextBlock(self.hidden, 9, name="P_IML")(
+            p2p = LocalContextBlock(self.hidden, 9, dtype=dt, name="P_IML")(
                 lidar_feat, lidar_feat, train
             )
-            aug = ConvBN(self.hidden, 1, activation=None, name="P_out_proj")(
+            aug = ConvBN(self.hidden, 1, activation=None, dtype=dt,
+                         name="P_out_proj")(
                 jnp.concatenate([i2p_feat, p2p], axis=-1), train
             )
             new_lidar = ConvBN(
-                self.hidden, 1, activation=None, name="P_integration"
+                self.hidden, 1, activation=None, dtype=dt,
+                name="P_integration"
             )(jnp.concatenate([aug, lidar_feat], axis=-1), train)
         else:  # pragma: no cover - config error
             raise ValueError(self.iterbev)
@@ -115,7 +123,8 @@ class FocalEncoderLayer(nn.Module):
         if self.iterbev_wo_img or img_feat is None:
             new_img = None
         else:
-            new_img = BasicBlock2d(img_feat.shape[-1], name="iterimg")(
+            new_img = BasicBlock2d(img_feat.shape[-1], dtype=self.dtype,
+                                   name="iterimg")(
                 img_feat, train
             )
         return new_img, new_lidar
@@ -136,6 +145,7 @@ class FocalEncoder(nn.Module):
     lss: LSSConfig = LSSConfig()
     bev_shape: Tuple[int, int] = (180, 180)
     freeze_camlss: bool = False  # stop_gradient after LSS (staged finetune)
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -172,7 +182,8 @@ class FocalEncoder(nn.Module):
                 raise ValueError(self.cam_proj)
 
         if self.input_pts:
-            x = nn.Conv(self.hidden, (3, 3), name="shared_conv_pts")(
+            x = nn.Conv(self.hidden, (3, 3), dtype=self.dtype,
+                        name="shared_conv_pts")(
                 pts_feats
             )
         else:
@@ -187,7 +198,7 @@ class FocalEncoder(nn.Module):
             img_feat, x = FocalEncoderLayer(
                 self.hidden, self.iterbev, self.iterbev_wo_img, i,
                 self.iter_bev_cam, self.cam_proj, self.max_points_height,
-                self.lss.pc_range, self.lss.img_scale,
+                self.lss.pc_range, self.lss.img_scale, self.dtype,
                 name=f"fusion{i}",
             )(img_feat, x, img_data, train)
             stage_feats.append(x)
@@ -195,7 +206,8 @@ class FocalEncoder(nn.Module):
             stage_feats = [x]
         if self.extra_feat:
             stage_feats.append(
-                ConvBN(self.hidden, 3, activation=None, name="extra_output")(
+                ConvBN(self.hidden, 3, activation=None, dtype=self.dtype,
+                       name="extra_output")(
                     stage_feats[-1], train
                 )
             )

@@ -7,7 +7,7 @@ Structure per the reference config (FocalFormer3D_L.py:207-222):
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -19,6 +19,7 @@ class SECOND(nn.Module):
     out_channels: Sequence[int] = (128, 256)
     layer_nums: Sequence[int] = (5, 5)
     layer_strides: Sequence[int] = (1, 2)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -27,9 +28,10 @@ class SECOND(nn.Module):
             zip(self.out_channels, self.layer_nums, self.layer_strides)
         ):
             x = ConvBN(ch, 3, strides=s, bn_momentum=0.99, bn_eps=1e-3,
-                       name=f"block{i}_conv0")(x, train)
+                       dtype=self.dtype, name=f"block{i}_conv0")(x, train)
             for j in range(n):
                 x = ConvBN(ch, 3, bn_momentum=0.99, bn_eps=1e-3,
+                           dtype=self.dtype,
                            name=f"block{i}_conv{j + 1}")(x, train)
             outs.append(x)
         return outs
@@ -38,6 +40,7 @@ class SECOND(nn.Module):
 class SECONDFPN(nn.Module):
     out_channels: Sequence[int] = (256, 256)
     upsample_strides: Sequence[int] = (1, 2)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -46,14 +49,15 @@ class SECONDFPN(nn.Module):
             zip(feats, self.out_channels, self.upsample_strides)
         ):
             if s == 1:
-                y = nn.Conv(ch, (1, 1), use_bias=False,
+                y = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
                             name=f"deblock{i}_conv")(x)
             else:
                 y = nn.ConvTranspose(
                     ch, (s, s), strides=(s, s), use_bias=False,
-                    name=f"deblock{i}_deconv",
+                    dtype=self.dtype, name=f"deblock{i}_deconv",
                 )(x)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, name=f"deblock{i}_bn")(y)
+                             epsilon=1e-3, dtype=self.dtype,
+                             name=f"deblock{i}_bn")(y)
             ups.append(nn.relu(y))
         return jnp.concatenate(ups, axis=-1)

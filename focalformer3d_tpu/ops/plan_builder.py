@@ -1,0 +1,557 @@
+"""Pallas TPU rulebook/tile-plan builder: MXU one-hot meta gathers.
+
+Why: the sparse encoder's per-scan index build (CSR tables, rulebooks,
+tile plans) costs ~60% of the encoder stage when done with XLA row
+gathers/scatters (~100-215 Mrows/s on this chip — tools/micro_plan_build*.py):
+each conv geometry needs ky*kx meta-row fetches per output site
+(ops/sparse_conv.build_conv_rules), ~4.5M gathered rows per scan.
+
+This module moves the meta fetch onto the MXU with the same windowed
+one-hot trick as the conv kernel (ops/sparse_conv_pallas.py):
+
+  * the per-column meta rows [zbits lo, zbits hi, row_start] are split
+    into 8-bit chunks, 16 bf16 lanes per column, packed 8 columns per
+    physical (128-lane) row — exact in bf16 (values <= 255);
+  * output sites are CSR-ordered, so a tile of T sites reads, per dy
+    band, meta columns inside a narrow monotone window; the window is a
+    256-row (2048-column) aligned BlockSpec slice selected per
+    (tile, band) by scalar-prefetched segment indices — Pallas
+    double-buffers the HBM->VMEM streaming automatically;
+  * selection is one (kx*T, 256) @ (256, 128) bf16 matmul per band plus
+    a constant reconstruction matmul that sums each column's byte
+    chunks into 16-bit field halves — K=256 contraction, near-peak MXU;
+  * bit tests / popcount ranks / window-relative positions are VPU
+    integer ops on the reconstructed words.
+
+Sites whose tap column falls outside the 2048-column window (CSR order
+wraps a BEV row, or ultra-sparse tiles) are flagged and resolved exactly
+on the XLA side from a fixed-capacity compacted list, in the same spirit
+as the conv kernel's overflow spill, so the resulting TilePlan is exact.
+
+Reference semantics: spconv rulebook construction
+(/root/reference/... uses spconv's CUDA hash tables; SURVEY.md §2.3);
+numerics parity-tested against ops/sparse_conv.build_conv_rules +
+ops/sparse_conv_pallas.build_tile_plan (tests/test_plan_builder.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import sparse_conv as sc
+from .sparse_conv_pallas import TilePlan, _group_perm, _padded_rows
+
+_LANES = 128
+_SEG_ROWS = 256  # chunk rows per window block (= 2048 columns)
+_SEG_COLS = _SEG_ROWS * 8
+_CPL = 16  # chunk lanes per meta column
+_FALIGN = 64  # feature-window start alignment (conv kernel contract)
+
+
+def _as3(v):
+    return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+# ---------------------------------------------------------------------------
+# meta chunk packing
+# ---------------------------------------------------------------------------
+
+def pack_meta_chunks(meta: jax.Array) -> jax.Array:
+    """(n_col+1, 4) int32 meta -> (Mp, 128) bf16 chunk table.
+
+    Lane layout per column (16 lanes): b0 bytes 0-3, b1 bytes 0-3,
+    row_start bytes 0-2, 5 zero pads. 8 columns per physical row; rows
+    padded to a multiple of _SEG_ROWS so every window block is valid.
+    """
+    n = meta.shape[0]
+    fields = []
+    for w, nb in ((meta[:, 0], 4), (meta[:, 1], 4), (meta[:, 2], 3)):
+        for i in range(nb):
+            fields.append(jnp.right_shift(w, 8 * i) & 0xFF)
+    fields += [jnp.zeros((n,), jnp.int32)] * (_CPL - len(fields))
+    chunks = jnp.stack(fields, axis=1).astype(jnp.bfloat16)  # (n, 16)
+    ncol_pad = -(-n // (_SEG_ROWS * 8)) * (_SEG_ROWS * 8)
+    chunks = jnp.pad(chunks, ((0, ncol_pad - n), (0, 0)))
+    return chunks.reshape(ncol_pad // 8, 8 * _CPL)
+
+
+# reconstruction matrix: masked chunk lanes -> 6 int16-half fields
+# fields: b0_lo, b0_hi, b1_lo, b1_hi, st_lo, st_hi (each < 2^16, f32-exact)
+def _recon_matrix() -> np.ndarray:
+    r = np.zeros((_LANES, _LANES), np.float32)
+    for g in range(8):  # packed column slot within the physical row
+        base = g * _CPL
+        r[base + 0, 0] = 1.0
+        r[base + 1, 0] = 256.0
+        r[base + 2, 1] = 1.0
+        r[base + 3, 1] = 256.0
+        r[base + 4, 2] = 1.0
+        r[base + 5, 2] = 256.0
+        r[base + 6, 3] = 1.0
+        r[base + 7, 3] = 256.0
+        r[base + 8, 4] = 1.0
+        r[base + 9, 4] = 256.0
+        r[base + 10, 5] = 1.0
+    return r
+
+
+def _popcount(x):
+    """SWAR popcount on int32 (avoids relying on Mosaic population_count)."""
+    x = x - (jnp.right_shift(x, 1) & 0x55555555)
+    x = (x & 0x33333333) + (jnp.right_shift(x, 2) & 0x33333333)
+    x = (x + jnp.right_shift(x, 4)) & 0x0F0F0F0F
+    return jnp.right_shift(x * 0x01010101, 24) & 0x3F
+
+
+def _rank2(b0, b1, z):
+    """set bits strictly below z across the (b0, b1) 64-bit pair."""
+    m0 = jnp.where(
+        z < 32, jnp.left_shift(1, jnp.clip(z, 0, 31)) - 1, -1
+    )
+    m1 = jnp.where(
+        z >= 32, jnp.left_shift(1, jnp.clip(z - 32, 0, 31)) - 1, 0
+    )
+    return _popcount(b0 & m0) + _popcount(b1 & m1)
+
+
+def _test2(b0, b1, z):
+    lo = jnp.right_shift(b0, jnp.clip(z, 0, 31)) & 1
+    hi = jnp.right_shift(b1, jnp.clip(z - 32, 0, 31)) & 1
+    return jnp.where(z < 32, lo, hi) == 1
+
+
+def _plan_kernel(
+    seg_ref,  # SMEM (n_tiles*G,) int32 window segment per (tile, band)
+    fst_ref,  # SMEM (n_tiles*G,) int32 feature-window start per (tile, band)
+    colz_ref,  # VMEM (1, T) int32 packed site col*64+z (-1 pad)
+    win_ref,  # VMEM (_SEG_ROWS, 128) bf16 chunk window (auto-sliced)
+    rmat_ref,  # VMEM (128, 128) bf16 reconstruction matrix
+    out_ref,  # VMEM (1, T, 16) int32 codes, lanes dz*kx+dx
+    oh_ref,  # scratch VMEM (kx*T, _SEG_ROWS) bf16
+    *,
+    g: None,
+    kernel_size,
+    stride,
+    padding,
+    in_shape,
+    out_w: int,
+    window_f: int,
+    n_tiles: int,
+):
+    kz, ky, kx = kernel_size
+    sz, sy, sx = stride
+    pz, py, px = padding
+    D, H, W = in_shape
+    i = pl.program_id(0)
+    gg = pl.program_id(1)
+    G = ky
+    T = colz_ref.shape[1]
+
+    colz = colz_ref[0]  # (T,)
+    site_ok = colz >= 0
+    czs = jnp.where(site_ok, colz, 0)
+    col = czs >> 6
+    z = czs & 63
+    y = col // out_w
+    x = col - y * out_w
+
+    cstart = seg_ref[i * G + gg] * _SEG_COLS
+    fstart = fst_ref[i * G + gg]
+
+    yi = y * sy - py + gg
+    y_ok = site_ok & (yi >= 0) & (yi < H)
+    xbase = x * sx - px
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, _SEG_ROWS), 1)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1) // _CPL
+
+    rels = []
+    oks = []
+    cmiss = []
+    for dx in range(kx):
+        xi = xbase + dx
+        ok = y_ok & (xi >= 0) & (xi < W)
+        cq = yi * W + xi
+        rel = cq - cstart
+        in_w = ok & (rel >= 0) & (rel < _SEG_COLS)
+        relc = jnp.where(in_w, rel, 0)
+        oh_ref[dx * T:(dx + 1) * T, :] = (
+            (relc[:, None] >> 3) == iota_w
+        ).astype(jnp.bfloat16) * jnp.where(
+            in_w, jnp.bfloat16(1), jnp.bfloat16(0)
+        )[:, None]
+        rels.append(relc)
+        oks.append(ok)
+        cmiss.append(ok & ~in_w)
+
+    gath = jnp.dot(
+        oh_ref[:, :], win_ref[:, :], preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)  # (kx*T, 128)
+    # sub-row select then byte->halfword reconstruction on the MXU
+    for dx in range(kx):
+        piece = gath[dx * T:(dx + 1) * T, :]
+        sub = (lane16 == (rels[dx][:, None] & 7)).astype(jnp.bfloat16)
+        piece = piece * sub
+        halves = jnp.dot(
+            piece, rmat_ref[:, :], preferred_element_type=jnp.float32
+        )  # (T, 128); lanes 0..5 = field halves
+        b0 = halves[:, 0].astype(jnp.int32) + (
+            halves[:, 1].astype(jnp.int32) << 16
+        )
+        b1 = halves[:, 2].astype(jnp.int32) + (
+            halves[:, 3].astype(jnp.int32) << 16
+        )
+        st = halves[:, 4].astype(jnp.int32) + (
+            halves[:, 5].astype(jnp.int32) << 16
+        )
+        for dz in range(kz):
+            zi = z * sz - pz + dz
+            hit = (
+                oks[dx] & (zi >= 0) & (zi < D) & _test2(b0, b1, zi)
+                & ~cmiss[dx]
+            )
+            pos = st + _rank2(b0, b1, zi)
+            relf = pos - fstart
+            inw = hit & (relf >= 0) & (relf < window_f)
+            code = jnp.where(inw, relf, window_f)  # miss default
+            code = jnp.where(
+                hit & ~inw, window_f + 1 + pos, code
+            )  # feature-window overflow: carry the absolute position
+            zvalid = oks[dx] & (zi >= 0) & (zi < D)
+            code = jnp.where(
+                cmiss[dx] & zvalid, -1, code
+            )  # column-window miss: XLA resolves exactly
+            out_ref[0, :, dz * kx + dx] = code
+
+
+def _run_plan_kernel(
+    chunks, colz_tiles, segs, fstarts, rmat,
+    kernel_size, stride, padding, in_shape, out_w,
+    window_f, interpret,
+):
+    kz, ky, kx = kernel_size
+    n_tiles, T = colz_tiles.shape
+    G = ky
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, G),
+        in_specs=[
+            pl.BlockSpec(
+                (1, T), lambda i, g, s, f: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_SEG_ROWS, _LANES),
+                lambda i, g, s, f: (s[i * G + g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, _CPL), lambda i, g, s, f: (i * G + g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kx * T, _SEG_ROWS), jnp.bfloat16),
+        ],
+    )
+    codes = pl.pallas_call(
+        functools.partial(
+            _plan_kernel,
+            g=None,
+            kernel_size=(kz, ky, kx),
+            stride=stride,
+            padding=padding,
+            in_shape=in_shape,
+            out_w=out_w,
+            window_f=window_f,
+            n_tiles=n_tiles,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * G, T, _CPL), jnp.int32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(segs, fstarts, colz_tiles, chunks, rmat)
+    return codes
+
+
+def colz_from_coords(coords, valid, w: int) -> jax.Array:
+    """(V, 3) zyx int32 + valid -> packed col*64+z with -1 invalid."""
+    col = coords[:, 1] * w + coords[:, 2]
+    return jnp.where(valid, col * 64 + coords[:, 0], -1)
+
+
+def colz_from_meta(meta: jax.Array, capacity: int) -> jax.Array:
+    """Expand a CSR column meta into the per-slot packed (col, z) list.
+
+    Replaces the downsample 8-combo coordinate scatter (V-row scatters at
+    ~100 Mrows/s) with one tiny block-marker scatter + scan + two
+    capacity-row gathers. Returns (capacity,) int32 col*64+z, -1 beyond
+    the active count.
+    """
+    counts = meta[:-1, 3]
+    n_col = counts.shape[0]
+    nblk = -(-n_col // 64)
+    cpad = jnp.pad(counts, (0, nblk * 64 - n_col))
+    bc = cpad.reshape(nblk, 64)
+    bcs = jnp.sum(bc, axis=1)
+    blk_start = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(bcs)[:-1]]
+    )
+    total = blk_start[-1] + bcs[-1]
+
+    slot_tgt = jnp.where(
+        (bcs > 0) & (blk_start < capacity), blk_start, capacity
+    )
+    blk_of = jnp.zeros((capacity,), jnp.int32).at[slot_tgt].max(
+        jnp.arange(nblk, dtype=jnp.int32), mode="drop"
+    )
+    blk_of = jax.lax.associative_scan(jnp.maximum, blk_of)
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    r_blk = slots - blk_start[blk_of]
+    cnt64 = bc[blk_of]  # (capacity, 64)
+    cum = jnp.cumsum(cnt64, axis=1)  # inclusive
+    col_in = jnp.sum((cum <= r_blk[:, None]).astype(jnp.int32), axis=1)
+    col_in = jnp.minimum(col_in, 63)
+    prev = jnp.where(
+        col_in > 0,
+        jnp.take_along_axis(
+            cum, jnp.maximum(col_in - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0,
+    )
+    r_col = r_blk - prev
+    col = blk_of * 64 + col_in
+    colc = jnp.minimum(col, n_col - 1)
+    b0 = meta[colc, 0]
+    b1 = meta[colc, 1]
+    # z = r_col-th set bit of the column's 64-bit mask
+    z = jnp.zeros((capacity,), jnp.int32)
+    D = 64
+    for zq in range(D):
+        match = _test2(b0, b1, jnp.full_like(b0, zq)) & (
+            _rank2(b0, b1, jnp.full_like(b0, zq)) == r_col
+        )
+        z = jnp.where(match, zq, z)
+    live = slots < jnp.minimum(total, capacity)
+    return jnp.where(live, colc * 64 + z, -1)
+
+
+def build_plan_mxu(
+    meta: jax.Array,  # (n_col_in + 1, 4) input-level CSR meta
+    colz: jax.Array,  # (V_out,) packed output sites, CSR order, -1 invalid
+    in_capacity: int,
+    kernel_size=3,
+    stride=1,
+    padding=0,
+    in_shape=(41, 1440, 1440),
+    out_w: int | None = None,
+    tile: int = 256,
+    window: int = 256,
+    overflow_capacity: int = 4096,
+    chunks: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> TilePlan:
+    """MXU-gather tile plan for one conv geometry (exact).
+
+    ``out_w`` is the output grid's W (defaults to the input W for
+    submanifold convs). ``chunks`` may be passed to share the packed
+    meta across the plans of one level.
+    """
+    kz, ky, kx = _as3(kernel_size)
+    strides = _as3(stride)
+    pads = _as3(padding)
+    D, H, W = in_shape
+    if out_w is None:
+        out_w = W
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_col = H * W
+    v_out = colz.shape[0]
+    n_tiles = -(-v_out // tile)
+    padn = n_tiles * tile - v_out
+    colz_t = jnp.pad(colz, (0, padn), constant_values=-1).reshape(
+        n_tiles, tile
+    )
+    perm, G = _group_perm((kz, ky, kx))
+    vp = _padded_rows(in_capacity)
+
+    if chunks is None:
+        chunks = pack_meta_chunks(meta)
+    nseg = chunks.shape[0] // _SEG_ROWS
+
+    # per-(tile, band) window segment + feature-window start, from each
+    # tile's first (minimal-column) site — tap columns are nondecreasing
+    # within a tile, so a 2-segment window covers spans < ~2048 columns.
+    fs = colz_t[:, 0]
+    fs_ok = fs >= 0
+    fcol = jnp.where(fs_ok, fs >> 6, 0)
+    fy = fcol // out_w
+    fx = fcol - fy * out_w
+    segs = []
+    fstarts = []
+    sy, sx = strides[1], strides[2]
+    py, px = pads[1], pads[2]
+    for g in range(ky):
+        cq = (fy * sy - py + g) * W + fx * sx - px
+        cq = jnp.clip(cq, 0, n_col - 1)
+        seg = jnp.clip(cq // _SEG_COLS, 0, nseg - 1).astype(jnp.int32)
+        segs.append(seg)
+        st = meta[cq, 2]
+        st = jnp.minimum(st, vp - window) & ~(_FALIGN - 1)
+        fstarts.append(jnp.maximum(st, 0).astype(jnp.int32))
+    seg_arr = jnp.stack(segs, axis=1).reshape(-1)
+    fst_arr = jnp.stack(fstarts, axis=1).reshape(-1)
+
+    rmat = jnp.asarray(_recon_matrix(), jnp.bfloat16)
+    codes = _run_plan_kernel(
+        chunks, colz_t, seg_arr, fst_arr, rmat,
+        (kz, ky, kx), strides, pads, in_shape, out_w,
+        window, interpret,
+    )  # (n_tiles*G, T, 16)
+
+    codes = codes.reshape(n_tiles, G, tile, _CPL)[..., : kz * kx]
+    # band-major tap layout == plan.perm order (dz-major, dx-minor per band)
+    rel_bm = jnp.transpose(codes, (0, 2, 1, 3)).reshape(
+        n_tiles, tile, G * kz * kx
+    )
+
+    # ---- exact resolution of the flagged codes --------------------------
+    K = kz * ky * kx
+    ktv = n_tiles * tile
+    inv = np.argsort(np.asarray(perm))  # band-major idx -> original tap
+
+    over = rel_bm > window  # feature-window overflow, abs pos carried
+    cm = rel_bm < 0  # column-window miss: recompute below
+    n_overflow = jnp.sum(over, dtype=jnp.int32) + jnp.sum(
+        cm, dtype=jnp.int32
+    )
+
+    def compact(mask3, cap):
+        tcap = max(8, min(n_tiles, cap // tile))
+        tile_any = jnp.any(mask3, axis=(1, 2))
+        (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
+        tsafe = jnp.minimum(tidx, n_tiles - 1)
+        sub = mask3[tsafe] & (tidx < n_tiles)[:, None, None]
+        (fi,) = jnp.nonzero(
+            sub.reshape(-1), size=cap, fill_value=sub.size
+        )
+        oob = fi >= sub.size
+        tk = tile * K
+        ti = tsafe[jnp.where(oob, 0, fi // tk)]
+        rest = jnp.where(oob, 0, fi % tk)
+        si = rest // K
+        ki = rest % K
+        return oob, ti, si, ki
+
+    half = overflow_capacity // 2
+    # (a) feature-window overflow: position is carried in the code
+    oob_a, ti_a, si_a, ki_a = compact(over, half)
+    pos_a = jnp.where(
+        oob_a, in_capacity, rel_bm[ti_a, si_a, ki_a] - (window + 1)
+    )
+    out_a = jnp.where(oob_a, ktv, ti_a * tile + si_a)
+    tap_a = jnp.asarray(inv)[jnp.minimum(ki_a, K - 1)]
+    tap_a = jnp.where(oob_a, 0, tap_a)
+
+    # (b) column-window misses: recompute the position via a (bounded)
+    # XLA meta gather — same math as sparse_conv.build_conv_rules
+    oob_b, ti_b, si_b, ki_b = compact(cm, half)
+    tap_b = jnp.asarray(inv)[jnp.minimum(ki_b, K - 1)]
+    dz_b = tap_b // (ky * kx)
+    dy_b = (tap_b // kx) % ky
+    dx_b = tap_b % kx
+    czs = colz_t[ti_b, si_b]
+    czs = jnp.where(oob_b | (czs < 0), 0, czs)
+    colb = czs >> 6
+    zb = czs & 63
+    yb = colb // out_w
+    xb = colb - yb * out_w
+    yi = yb * strides[1] - pads[1] + dy_b
+    xi = xb * strides[2] - pads[2] + dx_b
+    zi = zb * strides[0] - pads[0] + dz_b
+    okb = (
+        ~oob_b & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        & (zi >= 0) & (zi < D)
+    )
+    colq = jnp.where(okb, yi * W + xi, n_col)
+    m = meta[colq]
+    hit = okb & sc._test_bit(m[:, 0], m[:, 1], zi)
+    pos_b = jnp.where(
+        hit, m[:, 2] + sc._rank(m[:, 0], m[:, 1], zi), in_capacity
+    )
+    out_b = jnp.where(oob_b, ktv, ti_b * tile + si_b)
+    tap_b = jnp.where(oob_b, 0, tap_b)
+
+    rel = jnp.where(over | cm, window, rel_bm).astype(jnp.int32)
+
+    return TilePlan(
+        rel=rel,
+        starts=fst_arr,
+        ov_pos=jnp.concatenate([pos_a, pos_b]).astype(jnp.int32),
+        ov_out=jnp.concatenate([out_a, out_b]).astype(jnp.int32),
+        ov_tap=jnp.concatenate([tap_a, tap_b]).astype(jnp.int32),
+        n_overflow=n_overflow,
+        v_out=v_out,
+        window=window,
+        n_groups=G,
+        perm=perm,
+    )
+
+
+def decode_rules(plan: TilePlan, colz: jax.Array, in_capacity: int,
+                 meta: jax.Array, kernel_size=3, stride=1, padding=0,
+                 in_shape=(41, 1440, 1440), out_w: int | None = None
+                 ) -> jax.Array:
+    """Absolute (K, V_out) rulebook for the training-side transposed-plan
+    build. Recovers in-window positions from plan.rel + plan.starts and
+    recomputes the (rare) overflow entries; misses = in_capacity.
+
+    Simpler and exact: re-derive all positions from meta like
+    sparse_conv.build_conv_rules (XLA path) — this is training-only and
+    dead-code-eliminated in inference.
+    """
+    kz, ky, kx = _as3(kernel_size)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    D, H, W = in_shape
+    if out_w is None:
+        out_w = W
+    n_col = H * W
+    v_out = colz.shape[0]
+    ok0 = colz >= 0
+    czs = jnp.where(ok0, colz, 0)
+    col = czs >> 6
+    z = czs & 63
+    y = col // out_w
+    x = col - y * out_w
+    taps = []
+    for dz in range(kz):
+        for dy in range(ky):
+            for dx in range(kx):
+                yi = y * sy - py + dy
+                xi = x * sx - px + dx
+                zi = z * sz - pz + dz
+                ok = (
+                    ok0 & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+                    & (zi >= 0) & (zi < D)
+                )
+                colq = jnp.where(ok, yi * W + xi, n_col)
+                m = meta[colq]
+                hit = ok & sc._test_bit(m[:, 0], m[:, 1], zi)
+                pos = m[:, 2] + sc._rank(m[:, 0], m[:, 1], zi)
+                taps.append(jnp.where(hit, pos, in_capacity))
+    return jnp.stack(taps, axis=0).astype(jnp.int32)

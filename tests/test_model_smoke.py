@@ -176,3 +176,35 @@ def test_boxcls_masking_mode_forward():
     out2 = dec2.apply(vars2, lidar_feat, feats, False)
     m_pos = np.asarray(out2["multistage_masks"])
     assert m_box.sum() <= m_pos.sum()
+
+
+def test_bfloat16_compute_dtype_close_to_f32():
+    """with_compute_dtype('bfloat16') runs the same params and stays close
+    to the float32 forward (inference path; heads emit float32)."""
+    from focalformer3d_tpu.models.detector import with_compute_dtype
+
+    rng = np.random.RandomState(11)
+    cfg = tiny_config()
+    cfg16 = with_compute_dtype(cfg, "bfloat16")
+    pts, mask, _gt, _labels, _valid = synth_batch(rng)
+    vox = preprocess_points(cfg, pts, mask)
+
+    model = FocalFormer3D(cfg)
+    model16 = FocalFormer3D(cfg16)
+    variables = jax.jit(
+        lambda k, v: model.init({"params": k}, v, None, False)
+    )(jax.random.PRNGKey(0), vox)
+    out = jax.jit(lambda v, x: model.apply(v, x, None, False))(
+        variables, vox)
+    out16 = jax.jit(lambda v, x: model16.apply(v, x, None, False))(
+        variables, vox)
+    assert out16["center"].dtype == jnp.float32
+    # bf16 has ~2-3 significant decimal digits, and near-tied heatmap
+    # peaks may select different queries under rounding — require the
+    # bulk of the centers to agree within half a grid cell rather than
+    # elementwise equality
+    c16 = np.asarray(out16["center"])
+    c32 = np.asarray(out["center"])
+    close = np.abs(c16 - c32) < 0.5
+    assert close.mean() > 0.95, close.mean()
+    assert np.isfinite(np.asarray(out16["heatmap"])).all()
