@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pillar_conv as pc
+from ..ops import plan_builder as pb
 from ..ops import sparse_conv as sc
 from ..ops import sparse_conv_pallas as scp
 from .layers import MaskedBatchNorm
@@ -49,10 +50,10 @@ def _batched_pallas_conv(feats, plans, plans_t, w, valid, kernel_size=3,
     """Per-sample pallas conv over a batched voxel table (B static)."""
     outs = []
     for b in range(feats.shape[0]):
-        pb = jax.tree.map(lambda a: a[b], plans)
+        plan_b = jax.tree.map(lambda a: a[b], plans)
         ptb = jax.tree.map(lambda a: a[b], plans_t)
         outs.append(scp.apply_conv_pallas(
-            feats[b], pb, ptb, w, valid[b], bias=bias,
+            feats[b], plan_b, ptb, w, valid[b], bias=bias,
             kernel_size=kernel_size,
         ))
     return jnp.stack(outs)
@@ -242,7 +243,14 @@ class SparseEncoder(nn.Module):
     # sets this so the level-0 reorder pass and rows scatter are skipped
     assume_csr: bool = False
     plan_tile: int = 256
-    plan_window: int = 256
+    # feature-window sizing: per (tile, band) positions span up to
+    # tile + 2*column_density + 63 (64-alignment of starts) — window 256
+    # with tile 256 is structurally too small and routed ~100k rules per
+    # scan through the (capacity-limited) overflow list, silently
+    # truncating beyond plan_overflow (ADVICE r2). 384 covers realistic
+    # nuScenes densities; pathological dense walls still spill exactly
+    # via the overflow list (watch the 'diagnostics' sow).
+    plan_window: int = 384
     plan_overflow: int = 4096
 
     @nn.compact
@@ -332,6 +340,36 @@ class SparseEncoder(nn.Module):
         pallas = self.engine == "pallas"
         overflow_counts = []  # per-plan true spill counts (see sow below)
 
+        def make_plans_mxu(meta, chunks, colz_out, shp, in_cap, out_cap,
+                           ks, stride, pad, out_w):
+            """Batched MXU-gather plan build (ops/plan_builder.py). The
+            transposed plan for the backward pass is built from an XLA
+            rulebook decode — dead-code-eliminated by XLA in inference."""
+            win = min(self.plan_window, scp._padded_rows(in_cap))
+            win_t = min(self.plan_window, scp._padded_rows(out_cap))
+            tile = self.plan_tile
+            ov = self.plan_overflow
+            B = meta.shape[0]
+            pairs = []
+            for b in range(B):
+                plan = pb.build_plan_mxu(
+                    meta[b], colz_out[b], in_cap, ks, stride, pad, shp,
+                    out_w, tile=tile, window=win, overflow_capacity=ov,
+                    chunks=chunks[b],
+                )
+                rules = pb.decode_rules(
+                    None, colz_out[b], in_cap, meta[b], ks, stride, pad,
+                    shp, out_w,
+                )
+                rules_t = scp.transpose_rules(rules, in_cap, ks)
+                plan_t = scp.build_tile_plan(
+                    rules_t, out_cap, ks, tile, win_t, ov
+                )
+                pairs.append((plan, plan_t))
+            pair = jax.tree.map(lambda *x: jnp.stack(x), *pairs)
+            overflow_counts.append(pair[0].n_overflow)
+            return pair
+
         def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
                        ks, stride, pad):
             """Batched fused plan build (+ transposed plan for backward,
@@ -357,6 +395,12 @@ class SparseEncoder(nn.Module):
             pair = jax.vmap(one)(table, out_coords, out_valid)
             overflow_counts.append(pair[0].n_overflow)
             return pair
+
+        if pallas:
+            return self._mxu_forward(
+                features, coords, valid, train, make_plans_mxu,
+                overflow_counts,
+            )
 
         # rulebooks hold CSR positions directly, so the level-0 table must
         # be CSR-ordered: either the voxelizer already emits that order
@@ -483,5 +527,122 @@ class SparseEncoder(nn.Module):
         dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
             x, out_coords, out_valid, out_shape
         )  # (B, D', H', W', C)
+        B, Dz, H, W, C = dense.shape
+        return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(B, H, W, Dz * C)
+
+    # ------------------------------------------------------------------
+    def _mxu_forward(self, features, coords, valid, train, make_plans,
+                     overflow_counts):
+        """Pallas-engine forward with the MXU index build: per-level CSR
+        column metas (word arithmetic + one small scatter at level 0),
+        coordinate lists derived from meta (plan_builder.colz_from_meta),
+        and tile plans built by the one-hot meta-gather kernel. No
+        per-voxel XLA gathers/scatters on the rulebook path."""
+        shape = tuple(self.sparse_shape)
+        n_stage = len(self.encoder_channels)
+        if self.assume_csr:
+            features = jnp.where(valid[..., None], features, 0)
+            meta = jax.vmap(sc.build_table_csr, in_axes=(0, 0, None))(
+                coords, valid, shape
+            ).meta  # (B, n_col+1, 4)
+        else:
+            table0 = jax.vmap(sc.build_table, in_axes=(0, 0, None))(
+                coords, valid, shape
+            )
+            coords, valid, features = jax.vmap(sc.csr_reorder)(
+                table0, features
+            )
+            meta = table0.meta  # active set unchanged by the reorder
+        colz = jax.vmap(pb.colz_from_coords, in_axes=(0, 0, None))(
+            coords, valid, shape[2]
+        )
+        chunks = jax.vmap(pb.pack_meta_chunks)(meta)
+        cap = features.shape[1]
+
+        plans = make_plans(
+            meta, chunks, colz, shape, cap, cap, 3, 1, (1, 1, 1), shape[2]
+        )
+        x = _SubMConvBN(self.encoder_channels[0][0], name="conv_input")(
+            features, None, valid, train, plans
+        )
+
+        for i, blocks in enumerate(self.encoder_channels):
+            ch = blocks[0]
+            n_basic = len(blocks) - 1 if i < n_stage - 1 else len(blocks)
+            for j in range(n_basic):
+                x = _SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
+                    x, None, valid, train, plans
+                )
+            if i < n_stage - 1:
+                out_ch = blocks[-1]
+                pad = tuple(self.down_paddings[i])
+                out_cap = self.capacities[i + 1]
+                out_shape = sc.conv_out_shape(shape, 3, 2, pad)
+                out_meta, total = jax.vmap(
+                    lambda m: sc.downsample_meta(m, shape, 3, 2, pad)[::2]
+                )(meta)
+                out_valid = (
+                    jnp.arange(out_cap)[None, :]
+                    < jnp.minimum(total, out_cap)[:, None]
+                )
+                colz_out = jax.vmap(
+                    lambda m: pb.colz_from_meta(m, out_cap, d=shape[0])
+                )(out_meta)
+                down_plans = make_plans(
+                    meta, chunks, colz_out, shape, cap, out_cap, 3, 2,
+                    pad, out_shape[2],
+                )
+                x = _DownConvBN(out_ch, name=f"down{i}")(
+                    x, None, out_valid, train, down_plans
+                )
+                shape, cap, valid = out_shape, out_cap, out_valid
+                meta, colz = out_meta, colz_out
+                chunks = jax.vmap(pb.pack_meta_chunks)(meta)
+                plans = make_plans(
+                    meta, chunks, colz, shape, cap, cap, 3, 1, (1, 1, 1),
+                    shape[2],
+                )
+
+        ks_out, st_out = (3, 1, 1), (2, 1, 1)
+        out_shape = sc.conv_out_shape(shape, ks_out, st_out, 0)
+        out_cap = self.out_capacity
+        out_meta, total = jax.vmap(
+            lambda m: sc.downsample_meta(m, shape, ks_out, st_out, 0)[::2]
+        )(meta)
+        out_valid = (
+            jnp.arange(out_cap)[None, :]
+            < jnp.minimum(total, out_cap)[:, None]
+        )
+        colz_out = jax.vmap(
+            lambda m: pb.colz_from_meta(m, out_cap, d=shape[0])
+        )(out_meta)
+        down_plans = make_plans(
+            meta, chunks, colz_out, shape, cap, out_cap, ks_out, st_out,
+            0, out_shape[2],
+        )
+        x = _DownConvBN(
+            self.output_channels, kernel_size=ks_out, name="conv_out"
+        )(x, None, out_valid, train, down_plans)
+
+        if overflow_counts:
+            # see _voxel_forward: spill counts beyond plan_overflow mean
+            # dropped rules — surfaced for bench.py / tools/benchmark.py
+            worst = jnp.max(jnp.stack(
+                [jnp.max(c) for c in overflow_counts]
+            ))
+            self.sow("diagnostics", "max_plan_overflow", worst)
+            self.sow(
+                "diagnostics", "plan_overflow_truncated",
+                (worst > self.plan_overflow).astype(jnp.int32),
+            )
+
+        czs = jnp.where(colz_out >= 0, colz_out, 0)
+        col = czs >> 6
+        coords_f = jnp.stack(
+            [czs & 63, col // out_shape[2], col % out_shape[2]], axis=-1
+        )
+        dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
+            x, coords_f, out_valid, out_shape
+        )
         B, Dz, H, W, C = dense.shape
         return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(B, H, W, Dz * C)

@@ -31,7 +31,9 @@ def msda_sample(
     C = value_levels[0].shape[-1]
     Dh = C // num_heads
     Q = locations.shape[0]
-    out = jnp.zeros((Q, num_heads, Dh), value_levels[0].dtype)
+    # accumulate in f32 (the bilinear lerp weights are f32); cast back to
+    # the value dtype at the end so a bf16 pipeline stays bf16
+    out = jnp.zeros((Q, num_heads, Dh), jnp.float32)
     for lvl in range(L):
         v = value_levels[lvl]
         H, W = v.shape[0], v.shape[1]
@@ -40,6 +42,10 @@ def msda_sample(
         for h in range(num_heads):
             s = grid_sample_norm(vh[:, :, h], grid[:, h])  # (Q, P, Dh)
             out = out.at[:, h].add(
-                jnp.sum(s * weights[:, h, lvl][..., None], axis=1)
+                jnp.sum(
+                    s.astype(jnp.float32)
+                    * weights[:, h, lvl][..., None].astype(jnp.float32),
+                    axis=1,
+                )
             )
-    return out.reshape(Q, C)
+    return out.reshape(Q, C).astype(value_levels[0].dtype)

@@ -129,7 +129,7 @@ def _test2(b0, b1, z):
 def _plan_kernel(
     seg_ref,  # SMEM (n_tiles*G,) int32 window segment per (tile, band)
     fst_ref,  # SMEM (n_tiles*G,) int32 feature-window start per (tile, band)
-    colz_ref,  # VMEM (1, T) int32 packed site col*64+z (-1 pad)
+    colz_ref,  # VMEM (1, 1, T) int32 packed site col*64+z (-1 pad)
     win_ref,  # VMEM (_SEG_ROWS, 128) bf16 chunk window (auto-sliced)
     rmat_ref,  # VMEM (128, 128) bf16 reconstruction matrix
     out_ref,  # VMEM (1, T, 16) int32 codes, lanes dz*kx+dx
@@ -151,9 +151,12 @@ def _plan_kernel(
     i = pl.program_id(0)
     gg = pl.program_id(1)
     G = ky
-    T = colz_ref.shape[1]
+    T = colz_ref.shape[2]
 
-    colz = colz_ref[0]  # (T,)
+    # 2D discipline: Mosaic only supports minor-dim insertion on 32-bit
+    # types, so every per-site vector is kept as (T, 1) int32/bool and
+    # bf16 values are only ever produced from 2D comparisons.
+    colz = colz_ref[0, 0:1, :].reshape(T, 1)  # (T, 1) int32
     site_ok = colz >= 0
     czs = jnp.where(site_ok, colz, 0)
     col = czs >> 6
@@ -176,16 +179,14 @@ def _plan_kernel(
     cmiss = []
     for dx in range(kx):
         xi = xbase + dx
-        ok = y_ok & (xi >= 0) & (xi < W)
+        ok = y_ok & (xi >= 0) & (xi < W)  # (T, 1)
         cq = yi * W + xi
         rel = cq - cstart
         in_w = ok & (rel >= 0) & (rel < _SEG_COLS)
-        relc = jnp.where(in_w, rel, 0)
+        relc = jnp.where(in_w, rel, 0)  # (T, 1)
         oh_ref[dx * T:(dx + 1) * T, :] = (
-            (relc[:, None] >> 3) == iota_w
-        ).astype(jnp.bfloat16) * jnp.where(
-            in_w, jnp.bfloat16(1), jnp.bfloat16(0)
-        )[:, None]
+            ((relc >> 3) == iota_w) & in_w
+        ).astype(jnp.bfloat16)
         rels.append(relc)
         oks.append(ok)
         cmiss.append(ok & ~in_w)
@@ -196,22 +197,22 @@ def _plan_kernel(
     # sub-row select then byte->halfword reconstruction on the MXU
     for dx in range(kx):
         piece = gath[dx * T:(dx + 1) * T, :]
-        sub = (lane16 == (rels[dx][:, None] & 7)).astype(jnp.bfloat16)
+        sub = (lane16 == (rels[dx] & 7)).astype(jnp.bfloat16)
         piece = piece * sub
         halves = jnp.dot(
             piece, rmat_ref[:, :], preferred_element_type=jnp.float32
         )  # (T, 128); lanes 0..5 = field halves
-        b0 = halves[:, 0].astype(jnp.int32) + (
-            halves[:, 1].astype(jnp.int32) << 16
+        b0 = halves[:, 0:1].astype(jnp.int32) + (
+            halves[:, 1:2].astype(jnp.int32) << 16
         )
-        b1 = halves[:, 2].astype(jnp.int32) + (
-            halves[:, 3].astype(jnp.int32) << 16
+        b1 = halves[:, 2:3].astype(jnp.int32) + (
+            halves[:, 3:4].astype(jnp.int32) << 16
         )
-        st = halves[:, 4].astype(jnp.int32) + (
-            halves[:, 5].astype(jnp.int32) << 16
+        st = halves[:, 4:5].astype(jnp.int32) + (
+            halves[:, 5:6].astype(jnp.int32) << 16
         )
         for dz in range(kz):
-            zi = z * sz - pz + dz
+            zi = z * sz - pz + dz  # (T, 1)
             hit = (
                 oks[dx] & (zi >= 0) & (zi < D) & _test2(b0, b1, zi)
                 & ~cmiss[dx]
@@ -227,7 +228,8 @@ def _plan_kernel(
             code = jnp.where(
                 cmiss[dx] & zvalid, -1, code
             )  # column-window miss: XLA resolves exactly
-            out_ref[0, :, dz * kx + dx] = code
+            k = dz * kx + dx
+            out_ref[0, :, k:k + 1] = code
 
 
 def _run_plan_kernel(
@@ -244,7 +246,7 @@ def _run_plan_kernel(
         grid=(n_tiles, G),
         in_specs=[
             pl.BlockSpec(
-                (1, T), lambda i, g, s, f: (i, 0),
+                (1, 1, T), lambda i, g, s, f: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -283,7 +285,7 @@ def _run_plan_kernel(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(segs, fstarts, colz_tiles, chunks, rmat)
+    )(segs, fstarts, colz_tiles[:, None, :], chunks, rmat)
     return codes
 
 
@@ -293,7 +295,7 @@ def colz_from_coords(coords, valid, w: int) -> jax.Array:
     return jnp.where(valid, col * 64 + coords[:, 0], -1)
 
 
-def colz_from_meta(meta: jax.Array, capacity: int) -> jax.Array:
+def colz_from_meta(meta: jax.Array, capacity: int, d: int = 64) -> jax.Array:
     """Expand a CSR column meta into the per-slot packed (col, z) list.
 
     Replaces the downsample 8-combo coordinate scatter (V-row scatters at
@@ -340,8 +342,7 @@ def colz_from_meta(meta: jax.Array, capacity: int) -> jax.Array:
     b1 = meta[colc, 1]
     # z = r_col-th set bit of the column's 64-bit mask
     z = jnp.zeros((capacity,), jnp.int32)
-    D = 64
-    for zq in range(D):
+    for zq in range(d):
         match = _test2(b0, b1, jnp.full_like(b0, zq)) & (
             _rank2(b0, b1, jnp.full_like(b0, zq)) == r_col
         )
@@ -432,7 +433,8 @@ def build_plan_mxu(
     # ---- exact resolution of the flagged codes --------------------------
     K = kz * ky * kx
     ktv = n_tiles * tile
-    inv = np.argsort(np.asarray(perm))  # band-major idx -> original tap
+    # band-major position p holds original tap perm[p] (plan.rel layout)
+    porig = np.asarray(perm)
 
     over = rel_bm > window  # feature-window overflow, abs pos carried
     cm = rel_bm < 0  # column-window miss: recompute below
@@ -464,13 +466,13 @@ def build_plan_mxu(
         oob_a, in_capacity, rel_bm[ti_a, si_a, ki_a] - (window + 1)
     )
     out_a = jnp.where(oob_a, ktv, ti_a * tile + si_a)
-    tap_a = jnp.asarray(inv)[jnp.minimum(ki_a, K - 1)]
+    tap_a = jnp.asarray(porig)[jnp.minimum(ki_a, K - 1)]
     tap_a = jnp.where(oob_a, 0, tap_a)
 
     # (b) column-window misses: recompute the position via a (bounded)
     # XLA meta gather — same math as sparse_conv.build_conv_rules
     oob_b, ti_b, si_b, ki_b = compact(cm, half)
-    tap_b = jnp.asarray(inv)[jnp.minimum(ki_b, K - 1)]
+    tap_b = jnp.asarray(porig)[jnp.minimum(ki_b, K - 1)]
     dz_b = tap_b // (ky * kx)
     dy_b = (tap_b // kx) % ky
     dx_b = tap_b % kx

@@ -397,6 +397,47 @@ def _downsample_bits(bits0, bits1, D, Do, kz, sz, pz):
     return o0, o1
 
 
+def downsample_meta(meta: jax.Array, in_shape, kernel_size, stride,
+                    padding):
+    """Output-set column meta of a strided sparse conv from the input
+    meta alone — pure word arithmetic + strided slices, no per-voxel
+    scatter (the coordinate list, when needed, comes from
+    plan_builder.colz_from_meta). Returns (out_meta, out_shape, total).
+    """
+    kz, ky, kx = _as_triple(kernel_size)
+    sz, sy, sx = _as_triple(stride)
+    pz, py, px = _as_triple(padding)
+    D, H, W = in_shape
+    out_shape = conv_out_shape(in_shape, kernel_size, stride, padding)
+    Do, Ho, Wo = out_shape
+    z0, z1 = _downsample_bits(
+        meta[:-1, 0], meta[:-1, 1], D, Do, kz, sz, pz
+    )
+    z0 = z0.reshape(H, W)
+    z1 = z1.reshape(H, W)
+    pad_y = (py, max(0, (Ho - 1) * sy + ky - py - H))
+    pad_x = (px, max(0, (Wo - 1) * sx + kx - px - W))
+    z0p = jnp.pad(z0, (pad_y, pad_x))
+    z1p = jnp.pad(z1, (pad_y, pad_x))
+    o0 = jnp.zeros((Ho, Wo), jnp.int32)
+    o1 = jnp.zeros((Ho, Wo), jnp.int32)
+    for dy in range(ky):
+        for dx in range(kx):
+            o0 = o0 | jax.lax.slice(
+                z0p, (dy, dx),
+                (dy + (Ho - 1) * sy + 1, dx + (Wo - 1) * sx + 1), (sy, sx),
+            )
+            o1 = o1 | jax.lax.slice(
+                z1p, (dy, dx),
+                (dy + (Ho - 1) * sy + 1, dx + (Wo - 1) * sx + 1), (sy, sx),
+            )
+    bits0 = jnp.concatenate([o0.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    bits1 = jnp.concatenate([o1.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    out_meta = _meta_from_bits(bits0, bits1)
+    total = out_meta[-2, 2] + out_meta[-2, 3]
+    return out_meta, out_shape, total
+
+
 def build_downsample(
     coords: jax.Array,
     valid: jax.Array,

@@ -192,29 +192,30 @@ def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
     # equal keys are contiguous after the sort, so per-voxel sums are
     # prefix-sum differences over run boundaries — no segment scatter,
     # and the first-P-points cap is pure index arithmetic.
-    pc = jnp.concatenate(
-        [points, coords.astype(points.dtype)], axis=1
-    )[order]
-    csum = jnp.cumsum(jnp.where(svalid[:, None], pc, 0.0), axis=0)
-
-    # Dropped (non-start) entries get DISTINCT out-of-bounds sentinels
-    # (V + 1 + pos) so the whole index vector is genuinely unique and the
-    # unique_indices fast path is contractually valid; a shared sentinel
-    # would violate the hint (JAX documents UB) even though the
-    # duplicates are dropped. indices_are_sorted is NOT claimed: the
-    # sentinels interleave with the ascending voxel ids.
-    vslot = jnp.where(is_start & (voxel_id < V), voxel_id, V + 1 + pos)
-    start = jnp.full((V + 1,), N, jnp.int32).at[vslot].set(
-        pos, mode="drop", unique_indices=True
-    )[:V]
-    is_end = svalid & (
-        jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
-        | ~jnp.concatenate([svalid[1:], jnp.zeros((1,), bool)])
+    csum = jnp.cumsum(
+        jnp.where(svalid[:, None], points[order], 0.0), axis=0
     )
-    eslot = jnp.where(is_end & (voxel_id < V), voxel_id, V + 1 + pos)
-    run_end = jnp.full((V + 1,), N, jnp.int32).at[eslot].set(
-        pos + 1, mode="drop", unique_indices=True
-    )[:V]
+
+    # One scatter total: run starts. Dropped (non-start) entries get
+    # DISTINCT out-of-bounds sentinels (V + 1 + pos) so the whole index
+    # vector is genuinely unique and the unique_indices fast path is
+    # contractually valid; a shared sentinel would violate the hint (JAX
+    # documents UB) even though the duplicates are dropped.
+    # indices_are_sorted is NOT claimed: the sentinels interleave with
+    # the ascending voxel ids.
+    # slot V is also written (start of the first DROPPED run) so run
+    # V-1's end is correct when the voxel capacity overflows
+    vslot = jnp.where(is_start & (voxel_id <= V), voxel_id, V + 1 + pos)
+    start_full = jnp.full((V + 1,), N, jnp.int32).at[vslot].set(
+        pos, mode="drop", unique_indices=True
+    )
+    start = start_full[:V]
+    # runs are contiguous in sorted order, so run v ends where run v+1
+    # starts; the last run ends at the valid-point count — this replaces
+    # a second 200k-row scatter with pure slicing (scatters run at
+    # ~100 Mrows/s on this chip, tools/micro_plan_build2.py)
+    n_valid = jnp.sum(svalid.astype(jnp.int32))
+    run_end = jnp.minimum(start_full[1:], n_valid)
     end = jnp.maximum(jnp.minimum(start + P, run_end), start)
     count = jnp.where(start < N, end - start, 0)
     lo = jnp.where((start > 0)[:, None],
@@ -224,9 +225,12 @@ def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
     feats = total[:, :D] / jnp.maximum(count[:, None], 1).astype(
         points.dtype
     )
-    out_coords = jnp.zeros((V + 1, 3), jnp.int32).at[vslot].set(
-        coords[order], mode="drop", unique_indices=True,
-    )[:V]
+    # coordinates by gather at the run starts (V rows) instead of a
+    # 200k-row scatter
+    start_rows = order[jnp.minimum(start, N - 1)]
+    out_coords = jnp.where(
+        (count > 0)[:, None], coords[start_rows], 0
+    )
     voxel_mask = count > 0
     return {
         "features": feats,

@@ -24,6 +24,7 @@ def tiny_batch(rng, B=2):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_overfit(self):
         cfg = tiny_config()
         lcfg = LossConfig(code_weights=(1.0,) * 8 + (0.2, 0.2))
@@ -56,6 +57,7 @@ class TestTrainStep:
         assert dec["bboxes"].shape[0] == 2
         assert np.isfinite(np.asarray(dec["bboxes"])).all()
 
+    @pytest.mark.slow
     def test_multichip_data_parallel(self):
         """Full train step jitted over an 8-device CPU mesh."""
         assert jax.device_count() >= 8, jax.devices()
@@ -88,6 +90,7 @@ class TestOptim:
         assert lr_end < 1e-6
 
 
+@pytest.mark.slow
 def test_freeze_masked_updates_preserve_params():
     """freeze_pts: frozen subtrees keep exact values through a train step
     (optax.masked) while live subtrees move (VERDICT item 10)."""
