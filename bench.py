@@ -40,10 +40,13 @@ def main():
 
     rng = np.random.RandomState(0)
     n_points = 200000  # ~10-sweep nuScenes scan
+    # radial beam-model clouds: ring structure + 1/r density matching real
+    # nuScenes scans (the uniform mode is the unrealistic worst case for
+    # CSR window density and downsample dilation — VERDICT r2 item 5)
     batch = synthetic.make_batch(
         rng, batch_size=1, n_points=n_points, n_boxes=24, max_gts=32,
         num_classes=cfg.decoder.num_classes,
-        pc_range=cfg.voxel.point_cloud_range,
+        pc_range=cfg.voxel.point_cloud_range, mode="radial",
     )
     points = jnp.asarray(batch["points"])
     mask = jnp.asarray(batch["points_mask"])
@@ -96,6 +99,7 @@ def main():
             out_capacity=cfg.out_capacity,
             engine="pallas" if jax.default_backend() == "tpu" else "voxel",
             assume_csr=True,
+            dense_from=cfg.sparse_dense_from,
         )
         ev = {"params": variables["params"]["pts_middle_encoder"],
               "batch_stats": variables.get("batch_stats", {}).get(

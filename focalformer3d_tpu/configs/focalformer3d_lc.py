@@ -33,7 +33,7 @@ def get_config():
         encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
                           (128, 128)),
         down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
-        capacities=(120000, 90000, 60000, 40000),
+        capacities=(120000, 180224, 131072, 40000),
         out_capacity=40000,
         second_channels=(128, 256),
         second_layers=(5, 5),

@@ -49,11 +49,21 @@ class DetectorConfig:
     down_paddings: Tuple[Tuple[int, int, int], ...] = (
         (1, 1, 1), (1, 1, 1), (0, 1, 1)
     )
-    capacities: Tuple[int, ...] = (120000, 90000, 60000, 40000)
+    # Per-level voxel-table capacities. Strided sparse convs DILATE the
+    # active set (any-tap-hit output rule), so mid levels hold MORE voxels
+    # than level 0 on real radially-dense scans (measured radial 10-sweep
+    # nuScenes-scale scan: L0 120k -> L1 ~175k -> L2 ~124k); levels at or
+    # past sparse_dense_from run dense and ignore their capacity.
+    capacities: Tuple[int, ...] = (120000, 180224, 131072, 40000)
     out_capacity: int = 40000
     # 'auto' picks the Pallas windowed-gather engine on TPU backends and
     # the XLA gather-GEMM engine elsewhere (CPU tests, interpret mode).
     sparse_engine: str = "auto"
+    # first encoder level computed on the dense grid (see
+    # SparseEncoder.dense_from); 2 = levels 2/3 + conv_out dense, which is
+    # both faster (8-30% occupancy -> XLA MXU convs beat gathers) and
+    # exact (no capacity bound / plan windows at those levels)
+    sparse_dense_from: int = 2
     second_channels: Tuple[int, ...] = (128, 256)
     second_layers: Tuple[int, ...] = (5, 5)
     fpn_channels: Tuple[int, ...] = (256, 256)
@@ -209,6 +219,7 @@ class FocalFormer3D(nn.Module):
                 out_capacity=cfg.out_capacity,
                 engine=engine,
                 assume_csr=True,  # ops/voxelize emits CSR order
+                dense_from=cfg.sparse_dense_from,
                 name="pts_middle_encoder",
             )(feats, voxel_data["coords"], valid, pts_train)
 

@@ -487,12 +487,16 @@ class FocalDecoder(nn.Module):
 
             if cfg.roi_feats and query_box is not None:
                 qb = query_box  # (B, Qn, code) in coder space, detached
+                # roi_expand_ratio multiplies the CODER-SPACE (log) dims
+                # before decode, i.e. linear dims are raised to the 1.2
+                # power — not scaled by 1.2 (reference
+                # focal_decoder.py:892: decode_box(rot, dim * ratio, ..))
                 std = bc.decode_box(
-                    cfg.coder, qb[..., :2], qb[..., 2:3], qb[..., 3:6],
-                    qb[..., 6:8],
+                    cfg.coder, qb[..., :2], qb[..., 2:3],
+                    qb[..., 3:6] * cfg.roi_expand_ratio, qb[..., 6:8],
                     qb[..., 8:10] if cfg.with_vel else None,
                 )
-                gp = self._grid_points(std, cfg.roi_expand_ratio)  # world xy
+                gp = self._grid_points(std, 1.0)  # world xy
                 pcr = jnp.asarray(cfg.pc_range)
                 gn = (gp - pcr[:2]) / (pcr[3:5] - pcr[:2]) * 2.0 - 1.0
                 gn = jnp.clip(gn, -2.0, 2.0)
@@ -501,8 +505,12 @@ class FocalDecoder(nn.Module):
                     rois.append(
                         jax.vmap(grid_sample_norm)(v, gn)
                     )  # (B, Qn, RR, C)
-                roi = jnp.concatenate(rois, axis=-1)
-                roi = roi.reshape(B, Qn, -1)
+                roi = jnp.concatenate(rois, axis=-1)  # (B, Qn, RR, 3C)
+                # channel-major flatten (feature index = c*RR + rr) to
+                # match the reference's permute(0,2,1,3).reshape before
+                # roi_mlp (focal_decoder.py:920) — the converted Linear
+                # weights consume this ordering
+                roi = jnp.transpose(roi, (0, 1, 3, 2)).reshape(B, Qn, -1)
                 y = roi
                 # roi_mlp is shared across rounds (reference self.roi_mlp)
                 for li in range(3):

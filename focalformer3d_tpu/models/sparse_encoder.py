@@ -170,6 +170,72 @@ class _DownConvBN(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# dense-grid blocks (same parameter names/shapes as the sparse blocks, so
+# checkpoints and the torch converter are engine-agnostic)
+# ---------------------------------------------------------------------------
+
+def _dense_conv(x, w27, ks, stride, padding, gain=None, bias=None):
+    """lax 3D conv with the sparse weight layout (K, Cin, Cout),
+    kernel_offsets (dz, dy, dx) order -> DHWIO."""
+    kz, ky, kx = ks
+    cin, cout = w27.shape[1], w27.shape[2]
+    w = w27.reshape(kz, ky, kx, cin, cout)
+    if gain is not None:
+        w = w * gain[None, None, None, None, :]
+    pads = [(p, p) if isinstance(p, int) else p for p in padding]
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), stride, pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+class _DenseConvBN(nn.Module):
+    """SubM/regular sparse conv on a dense grid: identical math (inactive
+    cells are zero, output re-masked), identical parameters. At >=3%
+    occupancy the XLA dense conv beats any gather scheme on the MXU."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple = (1, 1, 1)
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        ks = self.kernel_size
+        K = ks[0] * ks[1] * ks[2]
+        w = _conv_param(self, "w", K, x.shape[-1], self.features)
+        bn = MaskedBatchNorm(features=self.features)
+        if not train:
+            g, b = bn(None, None, return_affine=True)
+            y = _dense_conv(x, w, ks, self.stride, self.padding, g, b)
+        else:
+            y = _dense_conv(x, w, ks, self.stride, self.padding)
+            y = bn(y, mask, train)
+        y = jnp.where(mask[..., None], y, 0.0)
+        return nn.relu(y) if self.act else y
+
+
+class _DenseBasicBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        identity = x
+        y = _DenseConvBN(self.features, act=True, name="conv0")(
+            x, mask, train
+        )
+        y = _DenseConvBN(self.features, act=False, name="conv1")(
+            y, mask, train
+        )
+        return jnp.where(mask[..., None], nn.relu(y + identity), 0.0)
+
+
+# ---------------------------------------------------------------------------
 # pillar-engine blocks (same parameter names/shapes)
 # ---------------------------------------------------------------------------
 
@@ -238,20 +304,29 @@ class SparseEncoder(nn.Module):
     # fixed voxel-table / pillar-set capacities per resolution level
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
-    engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas'
+    engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas' | 'pallas_mxu'
+    # first level to run on a DENSE grid (4 = never). Coarse levels are
+    # 3-30% occupied on real scans, where XLA's dense conv3d on the MXU
+    # beats any gather scheme AND needs no rulebook/plan build or
+    # capacity bound; level-2 grids are ~360^2 x 11 so activations fit
+    # easily. Parameters are identical across engines.
+    dense_from: int = 4
     # voxel sets from ops/voxelize.py arrive CSR-ordered; the detector
     # sets this so the level-0 reorder pass and rows scatter are skipped
     assume_csr: bool = False
     plan_tile: int = 256
-    # feature-window sizing: per (tile, band) positions span up to
-    # tile + 2*column_density + 63 (64-alignment of starts) — window 256
-    # with tile 256 is structurally too small and routed ~100k rules per
-    # scan through the (capacity-limited) overflow list, silently
-    # truncating beyond plan_overflow (ADVICE r2). 384 covers realistic
-    # nuScenes densities; pathological dense walls still spill exactly
-    # via the overflow list (watch the 'diagnostics' sow).
-    plan_window: int = 384
-    plan_overflow: int = 4096
+    # Feature-window sizing, measured on radial beam-model scans at
+    # nuScenes scale (/tmp-chain sweep, r3): submanifold plans are exact
+    # from ~448 (96 spills at 384, 0 at 512); stride-2 down plans gather
+    # from the FINER level, whose per-band position span is ~2x, and need
+    # 768 (16.6k spills at 384, 0 at 768). Conv cost is only mildly
+    # window-sensitive (the kernel is VPU/overhead-bound at small C), so
+    # generous windows + the exact overflow spill list is the right
+    # operating point; true spill counts still surface via the
+    # 'diagnostics' sow (ADVICE r2).
+    plan_window: int = 512
+    plan_window_down: int = 896
+    plan_overflow: int = 16384
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -337,7 +412,7 @@ class SparseEncoder(nn.Module):
     def _voxel_forward(self, features, coords, valid, train):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
-        pallas = self.engine == "pallas"
+        pallas = self.engine in ("pallas", "pallas_mxu")
         overflow_counts = []  # per-plan true spill counts (see sow below)
 
         def make_plans_mxu(meta, chunks, colz_out, shp, in_cap, out_cap,
@@ -371,11 +446,12 @@ class SparseEncoder(nn.Module):
             return pair
 
         def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
-                       ks, stride, pad):
+                       ks, stride, pad, window=None):
             """Batched fused plan build (+ transposed plan for backward,
             dead-code-eliminated by XLA in inference)."""
-            win = min(self.plan_window, scp._padded_rows(in_cap))
-            win_t = min(self.plan_window, scp._padded_rows(out_cap))
+            win = min(window or self.plan_window, scp._padded_rows(in_cap))
+            win_t = min(window or self.plan_window,
+                        scp._padded_rows(out_cap))
             tile = self.plan_tile
             ov = self.plan_overflow
 
@@ -396,7 +472,7 @@ class SparseEncoder(nn.Module):
             overflow_counts.append(pair[0].n_overflow)
             return pair
 
-        if pallas:
+        if self.engine == "pallas_mxu":
             return self._mxu_forward(
                 features, coords, valid, train, make_plans_mxu,
                 overflow_counts,
@@ -445,18 +521,43 @@ class SparseEncoder(nn.Module):
                 pad = tuple(self.down_paddings[i])
                 out_cap = self.capacities[i + 1]
                 out_shape = sc.conv_out_shape(shape, 3, 2, pad)
-                out_coords, out_valid, out_meta = jax.vmap(
-                    lambda c, v: _ds3(
-                        sc.build_downsample(c, v, shape, 3, 2, pad, out_cap)
-                    )
-                )(coords, valid)
                 if pallas:
+                    # meta-chain downsample: the output active set from
+                    # word arithmetic on the column bitmasks + one colz
+                    # expansion — replaces build_downsample's 8-combo
+                    # per-voxel scatters (measured 18 ms vs ~5 ms at the
+                    # 120k->175k nuScenes level)
+                    out_meta, total = jax.vmap(
+                        lambda m: sc.downsample_meta(m, shape, 3, 2,
+                                                     pad)[::2]
+                    )(table.meta)
+                    out_valid = (
+                        jnp.arange(out_cap)[None, :]
+                        < jnp.minimum(total, out_cap)[:, None]
+                    )
+                    colz = jax.vmap(
+                        lambda m: pb.colz_from_meta(
+                            m, out_cap, d=out_shape[0]
+                        )
+                    )(out_meta)
+                    czs = jnp.where(colz >= 0, colz, 0)
+                    ccol = czs >> 6
+                    out_coords = jnp.stack(
+                        [czs & 63, ccol // out_shape[2],
+                         ccol % out_shape[2]], axis=-1,
+                    )
                     down_rules = None
                     down_plans = make_plans(
                         table, shape, out_coords, out_valid, cap, out_cap,
-                        3, 2, pad,
+                        3, 2, pad, window=self.plan_window_down,
                     )
                 else:
+                    out_coords, out_valid, out_meta = jax.vmap(
+                        lambda c, v: _ds3(
+                            sc.build_downsample(c, v, shape, 3, 2, pad,
+                                                out_cap)
+                        )
+                    )(coords, valid)
                     down_rules = jax.vmap(
                         lambda t, oc, ov: sc.build_conv_rules(
                             t, shape, oc, ov, 3, 2, pad, use_positions=True
@@ -468,6 +569,19 @@ class SparseEncoder(nn.Module):
                 )
                 coords, valid, shape = out_coords, out_valid, out_shape
                 cap = out_cap
+                if i + 1 == self.dense_from:
+                    dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
+                        x, coords, valid, shape
+                    )
+                    mask = jax.vmap(
+                        sc.to_dense, in_axes=(0, 0, 0, None)
+                    )(
+                        jnp.ones((*valid.shape, 1), jnp.float32), coords,
+                        valid, shape,
+                    )[..., 0] > 0
+                    return self._dense_tail(
+                        dense, mask, i + 1, train, overflow_counts
+                    )
                 table = jax.vmap(sc.table_from_meta)(
                     coords, valid, out_meta
                 )
@@ -485,18 +599,38 @@ class SparseEncoder(nn.Module):
 
         ks_out = (3, 1, 1)
         out_shape = sc.conv_out_shape(shape, ks_out, (2, 1, 1), 0)
-        out_coords, out_valid = jax.vmap(
-            lambda c, v: sc.build_downsample(
-                c, v, shape, ks_out, (2, 1, 1), 0, self.out_capacity
-            )[:2]
-        )(coords, valid)
         if pallas:
+            out_meta, total = jax.vmap(
+                lambda m: sc.downsample_meta(m, shape, ks_out, (2, 1, 1),
+                                             0)[::2]
+            )(table.meta)
+            out_valid = (
+                jnp.arange(self.out_capacity)[None, :]
+                < jnp.minimum(total, self.out_capacity)[:, None]
+            )
+            colz = jax.vmap(
+                lambda m: pb.colz_from_meta(
+                    m, self.out_capacity, d=out_shape[0]
+                )
+            )(out_meta)
+            czs = jnp.where(colz >= 0, colz, 0)
+            ccol = czs >> 6
+            out_coords = jnp.stack(
+                [czs & 63, ccol // out_shape[2], ccol % out_shape[2]],
+                axis=-1,
+            )
             down_rules = None
             down_plans = make_plans(
                 table, shape, out_coords, out_valid, cap,
                 self.out_capacity, ks_out, (2, 1, 1), 0,
+                window=self.plan_window_down,
             )
         else:
+            out_coords, out_valid = jax.vmap(
+                lambda c, v: sc.build_downsample(
+                    c, v, shape, ks_out, (2, 1, 1), 0, self.out_capacity
+                )[:2]
+            )(coords, valid)
             down_rules = jax.vmap(
                 lambda t, oc, ov: sc.build_conv_rules(
                     t, shape, oc, ov, ks_out, (2, 1, 1), 0,
@@ -508,27 +642,84 @@ class SparseEncoder(nn.Module):
             self.output_channels, kernel_size=ks_out, name="conv_out"
         )(x, down_rules, out_valid, train, down_plans)
 
-        if pallas and overflow_counts:
-            # Surface the true window-spill counts: the exact-correction
-            # list holds at most plan_overflow rules per plan, so
-            # max_plan_overflow > plan_overflow means rules were DROPPED
-            # and the conv outputs are no longer exact. Read back via
-            # apply(..., mutable=['diagnostics']) or capture_intermediates
-            # (bench.py reports it; tools/benchmark.py asserts on it).
-            worst = jnp.max(jnp.stack(
-                [jnp.max(c) for c in overflow_counts]
-            ))
-            self.sow("diagnostics", "max_plan_overflow", worst)
-            self.sow(
-                "diagnostics", "plan_overflow_truncated",
-                (worst > self.plan_overflow).astype(jnp.int32),
-            )
+        self._sow_overflow(overflow_counts)
 
         dense = jax.vmap(sc.to_dense, in_axes=(0, 0, 0, None))(
             x, out_coords, out_valid, out_shape
         )  # (B, D', H', W', C)
         B, Dz, H, W, C = dense.shape
-        return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(B, H, W, Dz * C)
+        # c-major z-collapse (channel = c*Dz + d) matching mmdet3d
+        # SparseEncoder's .dense().view(N, C*D, H, W) so converted
+        # torch checkpoints line up at the SECOND first-conv input
+        return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(B, H, W, C * Dz)
+
+    # ------------------------------------------------------------------
+    def _sow_overflow(self, overflow_counts):
+        if not overflow_counts:
+            return
+        # Surface the true window-spill counts: the exact-correction list
+        # holds at most plan_overflow rules per plan, so max > capacity
+        # means rules were DROPPED and outputs are no longer exact.
+        worst = jnp.max(jnp.stack([jnp.max(c) for c in overflow_counts]))
+        self.sow("diagnostics", "max_plan_overflow", worst)
+        self.sow(
+            "diagnostics", "plan_overflow_truncated",
+            (worst > self.plan_overflow).astype(jnp.int32),
+        )
+
+    def _dense_tail(self, x, mask, start, train, overflow_counts):
+        """Run levels >= ``start`` (and conv_out) on the dense grid.
+
+        x: (B, D, H, W, C) with zeros at inactive cells; mask (B, D, H, W).
+        Exact sparse-conv semantics: inactive inputs contribute zero and
+        outputs are re-masked to the active output set (any-tap-hit rule
+        via a max-pool of the mask). Returns the (B, H, W, Dz*C) BEV map.
+        """
+        n_stage = len(self.encoder_channels)
+        in_dtype = x.dtype
+        if self.engine in ("pallas", "pallas_mxu"):
+            # the pallas sparse levels already compute at bf16 MXU
+            # precision (tables are packed bf16); keep the dense tail
+            # consistent — accumulation stays f32 inside the convs
+            x = x.astype(jnp.bfloat16)
+
+        def pool_mask(m, window, strides, padding):
+            return jax.lax.reduce_window(
+                m, False, jax.lax.bitwise_or,
+                (1, *window), (1, *strides),
+                ((0, 0), *padding),
+            )
+
+        for i in range(start, n_stage):
+            blocks = self.encoder_channels[i]
+            ch = blocks[0]
+            n_basic = len(blocks) - 1 if i < n_stage - 1 else len(blocks)
+            for j in range(n_basic):
+                x = _DenseBasicBlock(ch, name=f"stage{i}_block{j}")(
+                    x, mask, train
+                )
+            if i < n_stage - 1:
+                out_ch = blocks[-1]
+                pad = tuple(self.down_paddings[i])
+                out_mask = pool_mask(
+                    mask, (3, 3, 3), (2, 2, 2), tuple((p, p) for p in pad)
+                )
+                x = _DenseConvBN(
+                    out_ch, kernel_size=(3, 3, 3), stride=(2, 2, 2),
+                    padding=pad, name=f"down{i}",
+                )(x, out_mask, train)
+                mask = out_mask
+
+        out_mask = pool_mask(mask, (3, 1, 1), (2, 1, 1), ((0, 0),) * 3)
+        x = _DenseConvBN(
+            self.output_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1),
+            padding=(0, 0, 0), name="conv_out",
+        )(x, out_mask, train)
+        self._sow_overflow(overflow_counts)
+        B, Dz, H, W, C = x.shape
+        # c-major z-collapse — see _voxel_forward's return
+        bev = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B, H, W, C * Dz)
+        return bev.astype(in_dtype)
 
     # ------------------------------------------------------------------
     def _mxu_forward(self, features, coords, valid, train, make_plans,
@@ -624,17 +815,7 @@ class SparseEncoder(nn.Module):
             self.output_channels, kernel_size=ks_out, name="conv_out"
         )(x, None, out_valid, train, down_plans)
 
-        if overflow_counts:
-            # see _voxel_forward: spill counts beyond plan_overflow mean
-            # dropped rules — surfaced for bench.py / tools/benchmark.py
-            worst = jnp.max(jnp.stack(
-                [jnp.max(c) for c in overflow_counts]
-            ))
-            self.sow("diagnostics", "max_plan_overflow", worst)
-            self.sow(
-                "diagnostics", "plan_overflow_truncated",
-                (worst > self.plan_overflow).astype(jnp.int32),
-            )
+        self._sow_overflow(overflow_counts)
 
         czs = jnp.where(colz_out >= 0, colz_out, 0)
         col = czs >> 6
@@ -645,4 +826,7 @@ class SparseEncoder(nn.Module):
             x, coords_f, out_valid, out_shape
         )
         B, Dz, H, W, C = dense.shape
-        return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(B, H, W, Dz * C)
+        # c-major z-collapse (channel = c*Dz + d) matching mmdet3d
+        # SparseEncoder's .dense().view(N, C*D, H, W) so converted
+        # torch checkpoints line up at the SECOND first-conv input
+        return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(B, H, W, C * Dz)

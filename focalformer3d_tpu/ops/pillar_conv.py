@@ -254,14 +254,16 @@ def pillars_to_dense_bev(
     pset: PillarSet,
     hw,
 ) -> jax.Array:
-    """(H, W, Dz*C) dense BEV; channel layout z*C + c (matches the voxel
-    engine's to_dense + z-fold)."""
+    """(H, W, C*Dz) dense BEV; c-major channel layout c*Dz + z (matches
+    the voxel engine's z-collapse and mmdet3d's .dense().view(N, C*D, ..),
+    so converted torch checkpoints line up at the SECOND input)."""
     H, W = hw
     P, Dz, C = feats.shape
     key = _bev_keys(pset.bev_coords, pset.valid, (H, W))
     idx = jnp.where(pset.valid, key, H * W)
-    flat = jnp.zeros((H * W + 1, Dz * C), feats.dtype).at[idx].set(
-        jnp.where(pset.valid[:, None], feats.reshape(P, Dz * C), 0.0),
+    ffold = jnp.transpose(feats, (0, 2, 1)).reshape(P, C * Dz)
+    flat = jnp.zeros((H * W + 1, C * Dz), feats.dtype).at[idx].set(
+        jnp.where(pset.valid[:, None], ffold, 0.0),
         mode="drop",
     )
-    return flat[:-1].reshape(H, W, Dz * C)
+    return flat[:-1].reshape(H, W, C * Dz)

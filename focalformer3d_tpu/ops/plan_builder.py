@@ -324,8 +324,11 @@ def colz_from_meta(meta: jax.Array, capacity: int, d: int = 64) -> jax.Array:
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     r_blk = slots - blk_start[blk_of]
-    cnt64 = bc[blk_of]  # (capacity, 64)
-    cum = jnp.cumsum(cnt64, axis=1)  # inclusive
+    # block-level inclusive prefix first (nblk, 64) — tiny — THEN one row
+    # gather per slot; a (capacity, 64) cumsum would be lane-wise scans
+    # over 46 MB at nuScenes scale
+    bcum = jnp.cumsum(bc, axis=1)
+    cum = bcum[blk_of]  # (capacity, 64)
     col_in = jnp.sum((cum <= r_blk[:, None]).astype(jnp.int32), axis=1)
     col_in = jnp.minimum(col_in, 63)
     prev = jnp.where(
@@ -340,13 +343,15 @@ def colz_from_meta(meta: jax.Array, capacity: int, d: int = 64) -> jax.Array:
     colc = jnp.minimum(col, n_col - 1)
     b0 = meta[colc, 0]
     b1 = meta[colc, 1]
-    # z = r_col-th set bit of the column's 64-bit mask
+    # z = r_col-th set bit of the column's 64-bit mask: branchless binary
+    # search on prefix ranks (6 rank evaluations vs d linear probes)
     z = jnp.zeros((capacity,), jnp.int32)
-    for zq in range(d):
-        match = _test2(b0, b1, jnp.full_like(b0, zq)) & (
-            _rank2(b0, b1, jnp.full_like(b0, zq)) == r_col
-        )
-        z = jnp.where(match, zq, z)
+    for shift in (32, 16, 8, 4, 2, 1):
+        if shift >= 2 * d:
+            continue
+        zc = z + shift
+        below = _rank2(b0, b1, zc)
+        z = jnp.where(below <= r_col, zc, z)
     live = slots < jnp.minimum(total, capacity)
     return jnp.where(live, colc * 64 + z, -1)
 
@@ -500,9 +505,17 @@ def build_plan_mxu(
 
     rel = jnp.where(over | cm, window, rel_bm).astype(jnp.int32)
 
+    # trailing active-tile count (see sparse_conv_pallas._kernel): valid
+    # output sites are a CSR prefix of colz, so 1 + last tile holding any
+    # site bounds every live rule; suffix tiles are skipped by the kernel
+    # (overflow entries are corrected outside the kernel either way)
+    act = jnp.any(colz_t >= 0, axis=1)
+    n_active = jnp.max(
+        jnp.where(act, jnp.arange(n_tiles, dtype=jnp.int32) + 1, 0)
+    )
     return TilePlan(
         rel=rel,
-        starts=fst_arr,
+        starts=jnp.concatenate([fst_arr, n_active[None]]),
         ov_pos=jnp.concatenate([pos_a, pos_b]).astype(jnp.int32),
         ov_out=jnp.concatenate([out_a, out_b]).astype(jnp.int32),
         ov_tap=jnp.concatenate([tap_a, tap_b]).astype(jnp.int32),

@@ -219,15 +219,38 @@ def build_conv_rules(
     n_col = H * W
 
     z0 = out_coords[:, 0] * sz - pz
+    meta = in_table.meta
+    if kx == 3:
+        # The 3 dx taps of one dy band read ADJACENT meta rows (columns
+        # c-1, c, c+1), so fetch them as one 48-byte row from a widened
+        # table: XLA row gathers are row-setup-bound (~190 Mrows/s on
+        # this chip regardless of row size), so 3 gathers of triples beat
+        # 9 gathers of singles ~3x. mp[i] = meta[i-1] with zero-bit
+        # sentinels on both ends (zero bitmask rows can never hit).
+        zrow = jnp.zeros((1, 4), meta.dtype)
+        mp = jnp.concatenate([zrow, meta, zrow], axis=0)  # (n_col+3, 4)
+        meta3 = jnp.concatenate(
+            [mp[:-2], mp[1:-1], mp[2:]], axis=1
+        )  # (n_col+1, 12): row c -> meta[c-1], meta[c], meta[c+1]
     per_bev = []
     for dy in range(ky):
+        yi = out_coords[:, 1] * sy - py + dy
+        y_ok = out_valid & (yi >= 0) & (yi < H)
+        if kx == 3:
+            base = out_coords[:, 2] * sx - px  # dx=0 tap column offset
+            q = jnp.where(y_ok, yi * W + base + 1, n_col)
+            trip = meta3[jnp.clip(q, 0, n_col)]  # (Vo, 12)
         for dx in range(kx):
-            yi = out_coords[:, 1] * sy - py + dy
             xi = out_coords[:, 2] * sx - px + dx
-            bev_ok = out_valid & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            colq = jnp.where(bev_ok, yi * W + xi, n_col)
-            m = in_table.meta[colq]  # (Vo, 4) one 16B fetch per BEV tap
-            w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
+            bev_ok = y_ok & (xi >= 0) & (xi < W)
+            if kx == 3:
+                w0 = trip[:, 4 * dx + 0]
+                w1 = trip[:, 4 * dx + 1]
+                start = trip[:, 4 * dx + 2]
+            else:
+                colq = jnp.where(bev_ok, yi * W + xi, n_col)
+                m = meta[colq]  # (Vo, 4) one 16B fetch per BEV tap
+                w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
             taps = []
             for dz in range(kz):
                 zi = z0 + dz

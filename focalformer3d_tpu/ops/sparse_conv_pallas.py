@@ -88,7 +88,9 @@ class TilePlan:
     rel: jax.Array  # (n_tiles, T, K) int32 in [0, W]; W = miss. Band-major
     # taps on the minor (lane) axis so per-tap extracts broadcast along
     # lanes without relayout.
-    starts: jax.Array  # (n_tiles * G,) int32 row starts, 64-aligned
+    starts: jax.Array  # (n_tiles * G + 1,) int32 row starts, 64-aligned;
+    # the trailing element is the ACTIVE tile count (output sites are a
+    # CSR prefix, so fully-padded tiles are a suffix the kernel skips)
     ov_pos: jax.Array  # (M,) int32 input positions of overflow rules
     ov_out: jax.Array  # (M,) int32 output sites (n_tiles * T = drop)
     ov_tap: jax.Array  # (M,) int32 tap index (original order)
@@ -185,9 +187,18 @@ def build_tile_plan(
     ).astype(jnp.int32)
     ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
 
+    # 1 + index of the last tile with any live rule (not a popcount, so
+    # non-prefix validity is still handled by covering through the last
+    # active tile)
+    act = jnp.any(valid, axis=(0, 2))
+    n_active = jnp.max(
+        jnp.where(act, jnp.arange(n_tiles, dtype=jnp.int32) + 1, 0)
+    )
     return TilePlan(
         rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
-        starts=jnp.stack(starts, axis=-1).reshape(-1),
+        starts=jnp.concatenate(
+            [jnp.stack(starts, axis=-1).reshape(-1), n_active[None]]
+        ),
         ov_pos=ov_pos,
         ov_out=ov_out,
         ov_tap=ov_k,
@@ -279,45 +290,55 @@ def _kernel(
     cl = x_ref.shape[1]  # p * C
     c = cl // pack
     wb = window // pack
+    # trailing starts element = active tile count (CSR-prefix outputs, so
+    # fully-padded tiles form a suffix): skip their two MXU dots entirely
+    # — real scans fill 60-80% of capacity, the rest is pure padding
+    count = starts_ref[pl.num_programs(0) * G]
 
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
-    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+    @pl.when(i >= count)
+    def _pad_tile():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    acc = None
-    for g in range(G):
-        for j in range(tpg):
-            r = rel[:, g * tpg + j][:, None]  # (T, 1)
-            oh_ref[j * T:(j + 1) * T, :] = (
-                r // pack == iota_w
-            ).astype(jnp.bfloat16)
-        start = pl.multiple_of(starts_ref[i * G + g], _ALIGN)
-        win = x_ref[
-            pl.ds(pl.multiple_of(start // pack, 8), wb), :
-        ].astype(jnp.bfloat16)  # (wb, cl)
-        gath = jnp.dot(
-            oh_ref[:, :], win, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)  # (tpg*T, cl)
-        # fused sub-row mask + lane-concat into mb_ref
-        for j in range(tpg):
-            piece = gath[j * T:(j + 1) * T, :]
-            if pack > 1:
-                r = rel[:, g * tpg + j][:, None]
-                piece = piece * (
-                    lane_blk == (r % pack)
+    @pl.when(i < count)
+    def _live_tile():
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+
+        acc = None
+        for g in range(G):
+            for j in range(tpg):
+                r = rel[:, g * tpg + j][:, None]  # (T, 1)
+                oh_ref[j * T:(j + 1) * T, :] = (
+                    r // pack == iota_w
                 ).astype(jnp.bfloat16)
-            if gather_mode:
-                t0 = (g * tpg + j) * cl
-                out_ref[:, t0:t0 + cl] = piece.astype(out_ref.dtype)
-            else:
-                mb_ref[:, j * cl:(j + 1) * cl] = piece
+            start = pl.multiple_of(starts_ref[i * G + g], _ALIGN)
+            win = x_ref[
+                pl.ds(pl.multiple_of(start // pack, 8), wb), :
+            ].astype(jnp.bfloat16)  # (wb, cl)
+            gath = jnp.dot(
+                oh_ref[:, :], win, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)  # (tpg*T, cl)
+            # fused sub-row mask + lane-concat into mb_ref
+            for j in range(tpg):
+                piece = gath[j * T:(j + 1) * T, :]
+                if pack > 1:
+                    r = rel[:, g * tpg + j][:, None]
+                    piece = piece * (
+                        lane_blk == (r % pack)
+                    ).astype(jnp.bfloat16)
+                if gather_mode:
+                    t0 = (g * tpg + j) * cl
+                    out_ref[:, t0:t0 + cl] = piece.astype(out_ref.dtype)
+                else:
+                    mb_ref[:, j * cl:(j + 1) * cl] = piece
+            if not gather_mode:
+                part = jnp.dot(
+                    mb_ref[:, :], wbig_ref[g],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
         if not gather_mode:
-            part = jnp.dot(
-                mb_ref[:, :], wbig_ref[g],
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-    if not gather_mode:
-        out_ref[:, :] = acc.astype(out_ref.dtype)
+            out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
 def _run_kernel(
@@ -679,13 +700,20 @@ def build_plan_direct(
     ov_pos = jnp.where(ov_pos < 0, V, ov_pos)
     ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
 
+    st_flat = jnp.stack(
+        starts, axis=-1
+    ).reshape(-1) if ky > 1 else jnp.repeat(
+        starts[0][:, None], n_groups, axis=1
+    ).reshape(-1)
+    # trailing active-tile count (see build_tile_plan / _kernel): 1 + last
+    # tile holding any live rule; suffix tiles are skipped by the kernel
+    act = jnp.any(ok_all.reshape(-1, n_tiles, tile), axis=(0, 2))
+    n_active = jnp.max(
+        jnp.where(act, jnp.arange(n_tiles, dtype=jnp.int32) + 1, 0)
+    )
     plan = TilePlan(
         rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
-        starts=jnp.stack(
-            starts if ky > 1 else starts * 1, axis=-1
-        ).reshape(-1) if ky > 1 else jnp.repeat(
-            starts[0][:, None], n_groups, axis=1
-        ).reshape(-1),
+        starts=jnp.concatenate([st_flat, n_active[None]]),
         ov_pos=ov_pos,
         ov_out=ov_out,
         ov_tap=ov_k,

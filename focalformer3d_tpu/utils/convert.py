@@ -429,7 +429,35 @@ def build_mapping(shapes: Dict[str, Tuple[int, ...]]) -> Dict[
                     if t:
                         m[tk] = [t]
                 continue
-            # I2P block (Proj variants) falls through unmapped for now
+            # I2P block (Proj variants): kdim=vdim=img_channels on a
+            # single-head nn.MultiheadAttention, so torch stores separate
+            # {q,k,v}_proj_weight plus one fused in_proj_bias instead of
+            # in_proj_weight (ref encoder_utils.py:191-193); flax side is
+            # four Dense layers (models/i2p.py)
+            g2 = re.fullmatch(
+                r"I2P_block\.learnedAlign\.(q|k|v)_proj_weight", rest)
+            if g2:
+                m[tk] = [("params",
+                          fb + ("I2P_block", f"{g2.group(1)}_proj",
+                                "kernel"), t2f_linear)]
+                continue
+            if rest == "I2P_block.learnedAlign.in_proj_bias":
+                m[tk] = [
+                    ("params", fb + ("I2P_block", f"{n}_proj", "bias"),
+                     (lambda b, a=a: b[a * (b.shape[0] // 3):
+                                       (a + 1) * (b.shape[0] // 3)]))
+                    for a, n in enumerate(("q", "k", "v"))
+                ]
+                continue
+            g2 = re.fullmatch(
+                r"I2P_block\.learnedAlign\.out_proj\.(weight|bias)", rest)
+            if g2:
+                leaf = g2.group(1)
+                m[tk] = [("params",
+                          fb + ("I2P_block", "out_proj",
+                                "kernel" if leaf == "weight" else "bias"),
+                          t2f_linear if leaf == "weight" else None)]
+                continue
             continue
 
         # =========== FocalDecoder head ====================================
@@ -620,6 +648,12 @@ class ConversionReport:
         self.missed: List[Tuple[str, Tuple, Tuple, Tuple]] = []
         self.unmapped: List[str] = []
         self.unloaded: List[Tuple[str, ...]] = []
+        # torch keys whose whole flax branch is absent from this model
+        # variant (the reference builds every configured module even when
+        # forward never uses it — e.g. the camera-only DeformFormer3D_C_R50
+        # checkpoint still carries pts_middle_encoder/pts_backbone/pts_neck
+        # weights; our flax tree simply has no such module)
+        self.skipped_absent: List[str] = []
 
     @property
     def full(self) -> bool:
@@ -630,7 +664,8 @@ class ConversionReport:
             f"applied {len(self.applied)} torch tensors; "
             f"{len(self.missed)} target misses; "
             f"{len(self.unmapped)} torch keys unmapped; "
-            f"{len(self.unloaded)} flax leaves left at init"
+            f"{len(self.unloaded)} flax leaves left at init; "
+            f"{len(self.skipped_absent)} skipped (module absent)"
         ]
         for tk, path, ws, fs in self.missed[:20]:
             lines.append(f"  MISS {tk}: torch{ws} vs {'/'.join(path)}{fs}")
@@ -651,6 +686,7 @@ def convert_tree(variables, state_dict: Dict[str, np.ndarray]):
     )
     report = ConversionReport()
     loaded = set()
+    roots = {(k[0], k[1]) for k in flat if len(k) > 1}
 
     for tk, targets in mapping.items():
         w = np.asarray(state_dict[tk])
@@ -670,9 +706,12 @@ def convert_tree(variables, state_dict: Dict[str, np.ndarray]):
             coll, path, tf = targets[0]
             v = tf(w) if tf is not None else w
             full = (coll,) + path
-            report.missed.append(
-                (tk, full, tuple(v.shape),
-                 tuple(flat[full].shape) if full in flat else ()))
+            if path and (coll, path[0]) not in roots:
+                report.skipped_absent.append(tk)
+            else:
+                report.missed.append(
+                    (tk, full, tuple(v.shape),
+                     tuple(flat[full].shape) if full in flat else ()))
 
     report.unmapped = [
         k for k in state_dict if k not in mapping and not is_ignored(k)

@@ -158,8 +158,25 @@ def reference_state_shapes(cfg) -> Dict[str, Shape]:
             d[f"imgpts_neck.cam_lss.bevencode.{3 * k}.weight"] = (
                 co, ci, 3, 3)
             _bn(d, f"imgpts_neck.cam_lss.bevencode.{3 * k + 1}", co)
+    if cfg.input_img and cfg.cam_proj == "i2p":
+        # Proj variant: 3x3 conv projects FPN level-0 (256ch) to hidden
+        # (ref necks/focal_encoder.py:137-145, build_conv_layer bias=auto)
+        d["imgpts_neck.shared_conv_img.weight"] = (h, 256, 3, 3)
+        d["imgpts_neck.shared_conv_img.bias"] = (h,)
     for i in range(cfg.neck_layers):
         p = f"imgpts_neck.fusion_blocks.{i}"
+        if (cfg.input_img and cfg.cam_proj == "i2p"
+                and (not cfg.iter_bev_cam or i == 0)):
+            # I2P learnedAlign: 1-head MHA, kdim=vdim=img_channels==h, so
+            # separate q/k/v proj weights + fused bias
+            # (ref encoder_utils.py:191-193, focal_encoder.py:28-32)
+            la = f"{p}.I2P_block.learnedAlign"
+            d[f"{la}.q_proj_weight"] = (h, h)
+            d[f"{la}.k_proj_weight"] = (h, h)
+            d[f"{la}.v_proj_weight"] = (h, h)
+            d[f"{la}.in_proj_bias"] = (3 * h,)
+            d[f"{la}.out_proj.weight"] = (h, h)
+            d[f"{la}.out_proj.bias"] = (h,)
         if cfg.iterbev == "bevfusionmb2":
             _inverted_residual(d, f"{p}.P_IML", h, h, 2)
             _inverted_residual(d, f"{p}.P_out_proj", 2 * h, h, 1)

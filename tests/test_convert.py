@@ -47,6 +47,8 @@ def _zeros_variables(config_name):
 
 @pytest.mark.parametrize("config_name", [
     "FocalFormer3D_L", "FocalFormer3D_LC", "DeformFormer3D_L",
+    "FocalFormer3D_LC_Proj", "DeformFormer3D_C_R50",
+    "FocalFormer3D_Waymo_L", "FocalFormer3D_LC_TTA",
 ])
 def test_full_coverage(config_name):
     cfg, variables = _zeros_variables(config_name)

@@ -36,7 +36,7 @@ class TestBuildPillars:
         )
         table = sc.build_table(coords, valid, SHAPE)
         dense_v = np.asarray(sc.to_dense(feats, coords, valid, SHAPE))
-        dense_v = np.transpose(dense_v, (1, 2, 0, 3)).reshape(
+        dense_v = np.transpose(dense_v, (1, 2, 3, 0)).reshape(
             SHAPE[1], SHAPE[2], -1
         )
         np.testing.assert_allclose(dense_p, dense_v, atol=1e-6)
@@ -61,7 +61,7 @@ class TestConvParity:
         rules = sc.build_subm_rules(table, SHAPE, 3)
         y_v = sc.apply_conv(feats, rules, w27, valid)
         dense_v = np.asarray(sc.to_dense(y_v, coords, valid, SHAPE))
-        dense_v = np.transpose(dense_v, (1, 2, 0, 3)).reshape(
+        dense_v = np.transpose(dense_v, (1, 2, 3, 0)).reshape(
             SHAPE[1], SHAPE[2], -1
         )
         # pillar engine
@@ -115,7 +115,7 @@ class TestConvParity:
         rules = sc.build_conv_rules(table, SHAPE, oc, ov, 3, 2, pad)
         y_v = sc.apply_conv(feats, rules, w27, ov)
         dense_v = np.asarray(sc.to_dense(y_v, oc, ov, out_shape))
-        dense_v = np.transpose(dense_v, (1, 2, 0, 3)).reshape(
+        dense_v = np.transpose(dense_v, (1, 2, 3, 0)).reshape(
             out_shape[1], out_shape[2], -1
         )
 
@@ -177,3 +177,78 @@ class TestEncoderParity:
         np.testing.assert_allclose(
             out_p / scale, out_v / scale, atol=1e-5
         )
+
+
+class TestDenseTail:
+    def _setup(self, rng):
+        shape = (25, 64, 64)
+        kw = dict(
+            sparse_shape=shape,
+            output_channels=32,
+            encoder_channels=((8, 8, 16), (16, 16, 24), (24, 24, 32),
+                              (32, 32)),
+            down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
+            capacities=(512, 3000, 3000, 3000),
+            out_capacity=3000,
+        )
+        v_cap, n_active = 512, 300
+        Dz, H, W = shape
+        keys = rng.choice(Dz * H * W, n_active, replace=False)
+        coords = np.zeros((v_cap, 3), np.int32)
+        coords[:n_active, 0] = keys // (H * W)
+        coords[:n_active, 1] = (keys % (H * W)) // W
+        coords[:n_active, 2] = keys % W
+        valid = np.zeros(v_cap, bool)
+        valid[:n_active] = True
+        feats = (rng.randn(v_cap, 5) * valid[:, None]).astype(np.float32)
+        args = (
+            jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+            jnp.asarray(valid)[None],
+        )
+        return kw, args
+
+    def test_dense_tail_matches_sparse(self):
+        """dense_from=2 (levels 2/3 + conv_out on the dense grid) equals
+        the all-sparse voxel engine on the SAME parameters — submanifold
+        masking, strided dilation, and conv_out z-collapse included."""
+        rng = np.random.RandomState(7)
+        kw, args = self._setup(rng)
+        enc_s = SparseEncoder(engine="voxel", dense_from=4, **kw)
+        variables = enc_s.init(jax.random.PRNGKey(0), *args, False)
+        out_s = np.asarray(enc_s.apply(variables, *args, False))
+        for start in (1, 2, 3):
+            enc_d = SparseEncoder(engine="voxel", dense_from=start, **kw)
+            out_d = np.asarray(enc_d.apply(variables, *args, False))
+            scale = np.abs(out_s).max()
+            np.testing.assert_allclose(
+                out_d / scale, out_s / scale, atol=1e-5,
+                err_msg=f"dense_from={start}",
+            )
+
+    def test_dense_tail_train_step_stats(self):
+        """Training mode: masked BN statistics over the dense grid match
+        the sparse path's masked stats (active sites only)."""
+        rng = np.random.RandomState(8)
+        kw, args = self._setup(rng)
+        enc_s = SparseEncoder(engine="voxel", dense_from=4, **kw)
+        enc_d = SparseEncoder(engine="voxel", dense_from=2, **kw)
+        variables = enc_s.init(jax.random.PRNGKey(0), *args, False)
+        out_s, mut_s = enc_s.apply(
+            variables, *args, True, mutable=["batch_stats"]
+        )
+        out_d, mut_d = enc_d.apply(
+            variables, *args, True, mutable=["batch_stats"]
+        )
+        scale = float(np.abs(np.asarray(out_s)).max())
+        np.testing.assert_allclose(
+            np.asarray(out_d) / scale, np.asarray(out_s) / scale, atol=1e-5
+        )
+        fs = jax.tree_util.tree_leaves_with_path(mut_s["batch_stats"])
+        fd = dict(jax.tree_util.tree_leaves_with_path(
+            mut_d["batch_stats"]))
+        for path, leaf_s in fs:
+            leaf_d = fd[path]
+            np.testing.assert_allclose(
+                np.asarray(leaf_d), np.asarray(leaf_s), rtol=1e-4,
+                atol=1e-5, err_msg=str(path),
+            )
