@@ -300,11 +300,14 @@ class FocalDecoder(nn.Module):
             heatmap_train.append(dh)
             multistage_masks.append(acc_mask)
             heat = heat * acc_mask
-            last_heat = heat
 
             peaks = _peak_suppress(
                 heat, cfg.nms_kernel_size, cfg.kernel1_classes
             )
+            # the reference reassigns heatmap to the SUPPRESSED map before
+            # gathering query_heatmap_score and the gt-group scores
+            # (focal_decoder.py:860-862,702): non-peak cells read 0
+            last_heat = peaks
             # flatten as (B, ncls * HW): idx -> (cls, p)
             flat = jnp.transpose(peaks, (0, 3, 1, 2)).reshape(B, ncls * HW)
             top_v, top_i = jax.lax.top_k(flat, P)
@@ -316,7 +319,7 @@ class FocalDecoder(nn.Module):
             one_hot = jax.nn.one_hot(top_cls, ncls, dtype=qf.dtype)
             qf = qf + class_enc(one_hot)
             qp = bev_pos[top_p]  # (B, P, 2)
-            heat_flat = heat.reshape(B, HW, ncls)
+            heat_flat = peaks.reshape(B, HW, ncls)
             qs = jnp.take_along_axis(
                 heat_flat, top_p[..., None], axis=1
             )  # (B, P, ncls)

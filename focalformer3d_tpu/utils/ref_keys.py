@@ -90,7 +90,13 @@ def reference_state_shapes(cfg) -> Dict[str, Shape]:
     _bn(d, "pts_middle_encoder.conv_out.1", cfg.sparse_out_channels)
 
     # ------------- SECOND backbone ----------------------------------------
-    sec_in = cfg.sparse_out_channels * 2  # two z-planes collapsed to channels
+    # z planes surviving the encoder's strided chain + conv_out collapse
+    # (nuScenes 41 -> 21 -> 11 -> 5 -> 2)
+    z = cfg.sparse_shape[0]
+    for s in range(len(enc) - 1):
+        z = (z + 2 * cfg.down_paddings[s][0] - 3) // 2 + 1
+    z = (z - 3) // 2 + 1
+    sec_in = cfg.sparse_out_channels * z
     for i, out in enumerate(cfg.second_channels):
         block_in = sec_in if i == 0 else cfg.second_channels[i - 1]
         n_convs = cfg.second_layers[i] + 1

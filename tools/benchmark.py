@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
-"""Inference FPS benchmark.
+"""Inference / training throughput benchmark.
 
 Counterpart of /root/reference/tools/analysis_tools/benchmark.py (2000-sample
 timed loop): measures steady-state per-scan latency of the jitted predict
-step on synthetic scans (or a real info pkl with --data-root).
+step on synthetic scans. ``--train`` instead times the full jitted train
+step (loss + Hungarian assignment + GT groups + backward + optimizer), and
+for configs with frozen branches also times a freeze-disabled variant to
+show the backward-compute saving (reference recipe README.md:67-74 trains
+20+6 epochs x 28k scans, so steps/s decides wall-clock feasibility).
 """
 from __future__ import annotations
 
@@ -25,6 +29,8 @@ def main():
     p.add_argument("--n-points", type=int, default=200000)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the train step instead of inference")
     args = p.parse_args()
 
     from focalformer3d_tpu.utils import platform as _plat
@@ -56,6 +62,10 @@ def main():
             for k in ("imgs", "lidar2img", "img_aug", "bev_aug")
         }
 
+    if args.train:
+        bench_train(args, cfg, batch)
+        return
+
     vox = preprocess_points(cfg, points, mask)
     init = jax.jit(
         lambda k, v, i: model.init({"params": k}, v, i, False)
@@ -85,6 +95,59 @@ def main():
     scans = args.samples * args.batch_size
     print(f"{scans} scans in {dt:.2f}s -> {scans / dt:.2f} scans/s "
           f"({1000 * dt / scans:.1f} ms/scan)")
+
+
+def bench_train(args, cfg, batch):
+    """Jitted train-step steps/s (+ freeze-on vs freeze-off comparison)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from focalformer3d_tpu.configs import get_config
+    from focalformer3d_tpu.training import optim
+    from focalformer3d_tpu.training.train_step import (
+        create_train_state, make_train_step, trainable_mask,
+    )
+
+    lcfg = get_config(args.config)["loss"]
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "tokens"}
+
+    def time_one(cfg, tag, iters):
+        import time
+
+        has_freeze = cfg.freeze_img or cfg.freeze_camlss or cfg.freeze_pts
+        tx = optim.make_optimizer(
+            trainable_mask=(
+                (lambda params: trainable_mask(cfg, params))
+                if has_freeze else None
+            ),
+        )
+        _, state = create_train_state(
+            cfg, tx, jax.random.PRNGKey(0), jb
+        )
+        step = jax.jit(make_train_step(cfg, lcfg, tx))
+        rng = jax.random.PRNGKey(1)
+        state, metrics = step(state, jb, rng)
+        _ = float(metrics["loss"])  # host fetch = sync (axon-safe)
+        state, metrics = step(state, jb, rng)
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, jb, rng)
+        _ = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        bs = jb["points"].shape[0]
+        print(f"{tag}: {dt * 1e3:.1f} ms/step "
+              f"({bs / dt:.2f} scans/s, batch {bs})")
+        return dt
+
+    t = time_one(cfg, f"train step [{args.config}]", max(3, args.samples))
+    if cfg.freeze_img or cfg.freeze_camlss or cfg.freeze_pts:
+        cfg_nf = dataclasses.replace(
+            cfg, freeze_img=False, freeze_camlss=False, freeze_pts=False)
+        t_nf = time_one(cfg_nf, "train step [freeze disabled]",
+                        max(3, args.samples))
+        print(f"freeze saves {100 * (1 - t / t_nf):.1f}% step time")
 
 
 if __name__ == "__main__":
