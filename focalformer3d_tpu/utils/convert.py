@@ -217,6 +217,20 @@ def build_mapping(shapes: Dict[str, Tuple[int, ...]]) -> Dict[
                     m[tk] = [t]
             continue
 
+        # =========== HardVFE voxel encoder (Waymo) =========================
+        g = re.fullmatch(
+            r"pts_voxel_encoder\.vfe_layers\.(\d)\.(linear\.weight|"
+            r"norm\.(?:weight|bias|running_mean|running_var))", tk)
+        if g:
+            i, rest_v = int(g.group(1)), g.group(2)
+            if rest_v == "linear.weight":
+                m[tk] = [("params", ("vfe", f"vfe_fc{i}", "kernel"),
+                          t2f_linear)]
+            else:
+                t = _bn(("vfe", f"vfe_bn{i}"), rest_v.split(".")[1])
+                if t:
+                    m[tk] = [t]
+            continue
         # =========== SparseEncoder middle encoder ==========================
         g = re.fullmatch(
             r"pts_middle_encoder\.(conv_input|conv_out)\.(\d)\.(weight|bias|"

@@ -65,9 +65,20 @@ def reference_state_shapes(cfg) -> Dict[str, Shape]:
     h = dec.hidden
     ncls = dec.num_classes
 
-    # ------------- pts_middle_encoder (SparseEncoder, basicblock) --------
+    # ------------- pts_voxel_encoder (HardVFE, Waymo) ---------------------
     enc = cfg.encoder_channels
     cin = cfg.voxel.num_features if hasattr(cfg.voxel, "num_features") else 5
+    if cfg.vfe_type == "HardVFE":
+        # mmdet3d VFELayer: Linear(no bias) + BN1d (+ReLU, max at the end)
+        # (ref FocalFormer3D_Waymo_L.py:141-151, extras all disabled)
+        c = cin
+        for i, ch in enumerate(cfg.vfe_channels):
+            d[f"pts_voxel_encoder.vfe_layers.{i}.linear.weight"] = (ch, c)
+            _bn(d, f"pts_voxel_encoder.vfe_layers.{i}.norm", ch)
+            c = ch
+        cin = cfg.vfe_channels[-1]
+
+    # ------------- pts_middle_encoder (SparseEncoder, basicblock) --------
     base = enc[0][0]
     d["pts_middle_encoder.conv_input.0.weight"] = (3, 3, 3, cin, base)
     _bn(d, "pts_middle_encoder.conv_input.1", base)

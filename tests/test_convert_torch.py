@@ -345,3 +345,47 @@ def test_inverted_residual_matches_torchvision_layout():
     got = np.asarray(InvertedResidual(c, 2).apply(
         variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, ref, **TOL)
+
+
+def test_hardvfe_matches_mmdet3d_semantics():
+    """HardVFE (Waymo config: extras off, feat_channels=[64]) vs a torch
+    re-creation of mmdet3d's VFELayer, including the padded-slot quirk:
+    padded point slots are zeroed only at the INPUT, so after
+    Linear(no bias)+BN(eval)+ReLU they carry relu(BN(0)) and participate
+    in the per-voxel max (mmdet3d VFELayer applies no re-mask)."""
+    from focalformer3d_tpu.models.vfe import HardVFE
+
+    rng = np.random.RandomState(9)
+    V, P, D, C = 12, 6, 5, 16
+    voxels = rng.normal(0, 1, (1, V, P, D)).astype(np.float32)
+    num_points = rng.randint(1, P + 1, (1, V)).astype(np.int32)
+    num_points[0, -2:] = 0  # empty voxel slots
+    slot = np.arange(P)[None, None, :]
+    voxels = voxels * (slot < num_points[..., None])[..., None]
+    coords = rng.randint(0, 10, (1, V, 3)).astype(np.int32)
+
+    w = rng.normal(0, 0.3, (C, D)).astype(np.float32)
+    st = _rand_bn_state(rng, C)
+
+    with torch.no_grad():
+        x = torch.nn.functional.linear(_t(voxels[0]), _t(w))  # (V, P, C)
+        bn = torch.nn.BatchNorm1d(C, eps=1e-3).eval()
+        _torch_bn(bn, st)
+        x = bn(x.permute(0, 2, 1)).permute(0, 2, 1)
+        x = torch.relu(x)
+        ref = x.max(dim=1).values.numpy()  # (V, C) padded slots included
+        ref = ref * (num_points[0, :, None] > 0)
+
+    variables = {
+        "params": {
+            "vfe_fc0": {"kernel": t2f_linear(w)},
+            "vfe_bn0": {"scale": st["weight"], "bias": st["bias"]},
+        },
+        "batch_stats": {
+            "vfe_bn0": {"mean": st["mean"], "var": st["var"]},
+        },
+    }
+    got = np.asarray(HardVFE(feat_channels=(C,)).apply(
+        variables, jnp.asarray(voxels), jnp.asarray(num_points),
+        jnp.asarray(coords), False))[0]
+    np.testing.assert_allclose(got, ref, **TOL)
