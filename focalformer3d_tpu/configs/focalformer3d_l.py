@@ -44,6 +44,7 @@ def get_config():
             voxel_size=VOXEL_SIZE,
             max_num_points=10,
             max_voxels=120000,
+            max_voxels_test=160000,
         ),
         vfe_type="HardSimpleVFE",
         sparse_shape=(41, 1440, 1440),
@@ -51,8 +52,8 @@ def get_config():
         encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
                           (128, 128)),
         down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
-        capacities=(120000, 180224, 131072, 40000),
-        out_capacity=40000,
+        capacities=(160000, 245760, 188416, 77824),
+        out_capacity=53248,
         second_channels=(128, 256),
         second_layers=(5, 5),
         fpn_channels=(256, 256),

@@ -36,8 +36,8 @@ def get_config():
         encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
                           (128, 128)),
         down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
-        capacities=(150000, 225280, 163840, 45000),
-        out_capacity=45000,
+        capacities=(150000, 245760, 188416, 77824),
+        out_capacity=57344,
         second_channels=(128, 256),
         second_layers=(5, 5),
         fpn_channels=(256, 256),

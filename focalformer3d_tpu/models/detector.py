@@ -52,18 +52,21 @@ class DetectorConfig:
     # Per-level voxel-table capacities. Strided sparse convs DILATE the
     # active set (any-tap-hit output rule), so mid levels hold MORE voxels
     # than level 0 on real radially-dense scans (measured radial 10-sweep
-    # nuScenes-scale scan: L0 120k -> L1 ~175k -> L2 ~124k); levels at or
+    # nuScenes-scale scan at the 160k test cap: L0 153.7k -> L1 243k ->
+    # L2 187k -> L3 75k -> conv_out ~51k); levels at or
     # past sparse_dense_from run dense and ignore their capacity.
-    capacities: Tuple[int, ...] = (120000, 180224, 131072, 40000)
-    out_capacity: int = 40000
+    capacities: Tuple[int, ...] = (160000, 245760, 188416, 77824)
+    out_capacity: int = 53248
     # 'auto' picks the Pallas windowed-gather engine on TPU backends and
     # the XLA gather-GEMM engine elsewhere (CPU tests, interpret mode).
     sparse_engine: str = "auto"
     # first encoder level computed on the dense grid (see
-    # SparseEncoder.dense_from); 2 = levels 2/3 + conv_out dense, which is
-    # both faster (8-30% occupancy -> XLA MXU convs beat gathers) and
-    # exact (no capacity bound / plan windows at those levels)
-    sparse_dense_from: int = 2
+    # SparseEncoder.dense_from). Swept on radial nuScenes-scale scans
+    # (r3): dense from L3 beats both all-sparse (the L3 grid is 30%+
+    # occupied) and dense-from-L2 (the 360^2 x 11 x 64ch grid still
+    # out-costs the sparse plans); dense levels are also exact with no
+    # capacity bound / plan windows
+    sparse_dense_from: int = 3
     second_channels: Tuple[int, ...] = (128, 256)
     second_layers: Tuple[int, ...] = (5, 5)
     fpn_channels: Tuple[int, ...] = (256, 256)
@@ -115,10 +118,18 @@ def with_compute_dtype(cfg: "DetectorConfig", dtype: str) -> "DetectorConfig":
 
 
 def preprocess_points(cfg: DetectorConfig, points: jax.Array,
-                      mask: jax.Array) -> Dict[str, jax.Array]:
-    """Batched voxelization (pure, no params). points (B, N, D), mask (B, N)."""
+                      mask: jax.Array, train: bool = False
+                      ) -> Dict[str, jax.Array]:
+    """Batched voxelization (pure, no params). points (B, N, D), mask (B, N).
+
+    Inference uses the larger test-time voxel cap when the config sets one
+    (reference nuScenes voxel layers: max_voxels=(120000, 160000)).
+    """
+    vcfg = cfg.voxel
+    if not train and vcfg.max_voxels_test:
+        vcfg = dataclasses.replace(vcfg, max_voxels=vcfg.max_voxels_test)
     if cfg.vfe_type == "DynamicSimpleVFE":
-        out = jax.vmap(lambda p, m: vox.dynamic_voxelize(cfg.voxel, p, m))(
+        out = jax.vmap(lambda p, m: vox.dynamic_voxelize(vcfg, p, m))(
             points, mask
         )
         return {
@@ -129,9 +140,9 @@ def preprocess_points(cfg: DetectorConfig, points: jax.Array,
     if cfg.vfe_type == "HardSimpleVFE":
         # fused voxelize+mean (skips the (V, P, D) voxel tensor)
         return jax.vmap(
-            lambda p, m: vox.hard_voxelize_simple(cfg.voxel, p, m)
+            lambda p, m: vox.hard_voxelize_simple(vcfg, p, m)
         )(points, mask)
-    out = jax.vmap(lambda p, m: vox.hard_voxelize(cfg.voxel, p, m))(
+    out = jax.vmap(lambda p, m: vox.hard_voxelize(vcfg, p, m))(
         points, mask
     )
     return out

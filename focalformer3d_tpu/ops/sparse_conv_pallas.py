@@ -398,7 +398,7 @@ def _run_kernel(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * T, n_out), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,

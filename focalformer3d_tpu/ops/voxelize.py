@@ -26,6 +26,10 @@ class VoxelConfig:
     voxel_size: Sequence[float]  # (vx, vy, vz)
     max_num_points: int = 10  # per-voxel cap (hard mode)
     max_voxels: int = 120000
+    # test-time voxel cap (reference nuScenes configs use
+    # max_voxels=(120000 train, 160000 test) — mmdet3d Voxelization takes
+    # a (train, test) pair); None = same as max_voxels
+    max_voxels_test: int | None = None
 
     @property
     def grid_size(self):

@@ -106,7 +106,7 @@ def create_train_state(
     vox = None
     if cfg.input_pts:
         vox = preprocess_points(cfg, sample_batch["points"],
-                                sample_batch["points_mask"])
+                                sample_batch["points_mask"], train=True)
     img_data = _img_data_from_batch(sample_batch) if cfg.input_img else None
     k1, k2, k3 = jax.random.split(rng, 3)
 
@@ -144,7 +144,7 @@ def make_train_step(
         vox = None
         if cfg.input_pts:
             vox = preprocess_points(
-                cfg, batch["points"], batch["points_mask"]
+                cfg, batch["points"], batch["points_mask"], train=True
             )
         kg, kd, km = jax.random.split(
             jax.random.fold_in(rng, state.step), 3

@@ -252,3 +252,57 @@ class TestDenseTail:
                 np.asarray(leaf_d), np.asarray(leaf_s), rtol=1e-4,
                 atol=1e-5, err_msg=str(path),
             )
+
+
+class TestMxuEngineParity:
+    @pytest.mark.xfail(
+        reason="pallas_mxu engine composition bug: op-level plan parity "
+        "holds (test_plan_builder) but the chained encoder diverges "
+        "~0.3 max; engine also measured slower than 'pallas' at scan "
+        "scale with first-site window assignment spilling ~1.6M rules, "
+        "so it is not the production path ('auto' selects 'pallas'). "
+        "Tracked for r4.", strict=False)
+    def test_pallas_mxu_engine_matches_voxel(self):
+        """engine='pallas_mxu' (MXU-gather plan builder + pallas conv,
+        interpret mode on CPU) equals the voxel engine on the SAME
+        parameters, bf16-tolerance (the pallas table packs bf16)."""
+        rng = np.random.RandomState(6)
+        shape = (25, 64, 64)
+        kw = dict(
+            sparse_shape=shape,
+            output_channels=32,
+            encoder_channels=((8, 8, 16), (16, 16, 24), (24, 24, 32),
+                              (32, 32)),
+            down_paddings=((1, 1, 1), (1, 1, 1), (0, 1, 1)),
+            capacities=(512, 3000, 3000, 3000),
+            out_capacity=3000,
+            plan_window=256,
+            plan_overflow=4096,
+        )
+        enc_v = SparseEncoder(engine="voxel", **kw)
+        enc_m = SparseEncoder(engine="pallas_mxu", **kw)
+
+        v_cap, n_active = 512, 300
+        Dz, H, W = shape
+        keys = rng.choice(Dz * H * W, n_active, replace=False)
+        coords = np.zeros((v_cap, 3), np.int32)
+        coords[:n_active, 0] = keys // (H * W)
+        coords[:n_active, 1] = (keys % (H * W)) // W
+        coords[:n_active, 2] = keys % W
+        valid = np.zeros(v_cap, bool)
+        valid[:n_active] = True
+        feats = (rng.randn(v_cap, 5) * valid[:, None]).astype(np.float32)
+        args = (
+            jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+            jnp.asarray(valid)[None],
+        )
+        vars_v = enc_v.init(jax.random.PRNGKey(0), *args, False)
+        out_v = np.asarray(enc_v.apply(vars_v, *args, False))
+        out_m = np.asarray(enc_m.apply(vars_v, *args, False))
+        assert out_v.shape == out_m.shape
+        scale = np.abs(out_v).max()
+        assert scale > 0
+        # bf16 table + bf16 MXU accumulate per conv across a 13-conv chain
+        np.testing.assert_allclose(
+            out_m / scale, out_v / scale, atol=3e-2
+        )
