@@ -299,15 +299,22 @@ def colz_from_meta(meta: jax.Array, capacity: int, d: int = 64) -> jax.Array:
     """Expand a CSR column meta into the per-slot packed (col, z) list.
 
     Replaces the downsample 8-combo coordinate scatter (V-row scatters at
-    ~100 Mrows/s) with one tiny block-marker scatter + scan + two
-    capacity-row gathers. Returns (capacity,) int32 col*64+z, -1 beyond
+    ~100 Mrows/s) with one tiny block-marker scatter + scan + one
+    capacity-row gather. Blocks are 16 columns wide so the per-slot
+    gathered cumulative-count row is 64 B (the previous 64-wide blocks
+    moved a (capacity, 64) int32 intermediate — 62 MB at the 243k-slot
+    nuScenes level — through HBM three times: gather, compare, and a
+    take_along_axis that lowers to a second full gather). The preceding
+    column's cumulative count is recovered with a masked lane max instead
+    of take_along_axis. Returns (capacity,) int32 col*64+z, -1 beyond
     the active count.
     """
     counts = meta[:-1, 3]
     n_col = counts.shape[0]
-    nblk = -(-n_col // 64)
-    cpad = jnp.pad(counts, (0, nblk * 64 - n_col))
-    bc = cpad.reshape(nblk, 64)
+    bs = 16  # columns per block: 64 B gather rows, <= 1/4 n_col markers
+    nblk = -(-n_col // bs)
+    cpad = jnp.pad(counts, (0, nblk * bs - n_col))
+    bc = cpad.reshape(nblk, bs)
     bcs = jnp.sum(bc, axis=1)
     blk_start = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(bcs)[:-1]]
@@ -324,22 +331,18 @@ def colz_from_meta(meta: jax.Array, capacity: int, d: int = 64) -> jax.Array:
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     r_blk = slots - blk_start[blk_of]
-    # block-level inclusive prefix first (nblk, 64) — tiny — THEN one row
-    # gather per slot; a (capacity, 64) cumsum would be lane-wise scans
-    # over 46 MB at nuScenes scale
+    # block-level inclusive prefix first (nblk, bs) — tiny — THEN one row
+    # gather per slot
     bcum = jnp.cumsum(bc, axis=1)
-    cum = bcum[blk_of]  # (capacity, 64)
-    col_in = jnp.sum((cum <= r_blk[:, None]).astype(jnp.int32), axis=1)
-    col_in = jnp.minimum(col_in, 63)
-    prev = jnp.where(
-        col_in > 0,
-        jnp.take_along_axis(
-            cum, jnp.maximum(col_in - 1, 0)[:, None], axis=1
-        )[:, 0],
-        0,
-    )
+    cum = bcum[blk_of]  # (capacity, bs)
+    le = cum <= r_blk[:, None]
+    col_in = jnp.sum(le.astype(jnp.int32), axis=1)
+    col_in = jnp.minimum(col_in, bs - 1)
+    # cum is nondecreasing, so the entries <= r are exactly the first
+    # col_in; their max is cum[col_in - 1] (0 when col_in == 0)
+    prev = jnp.max(jnp.where(le, cum, 0), axis=1)
     r_col = r_blk - prev
-    col = blk_of * 64 + col_in
+    col = blk_of * bs + col_in
     colc = jnp.minimum(col, n_col - 1)
     b0 = meta[colc, 0]
     b1 = meta[colc, 1]

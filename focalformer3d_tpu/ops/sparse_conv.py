@@ -37,6 +37,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -143,6 +144,39 @@ def _column_bits(coords, valid, shape):
     return bits0, bits1
 
 
+def exact_cumsum_i32(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum of small non-negative int32 values via MXU block
+    matmuls (TPU only; falls back to jnp.cumsum elsewhere).
+
+    XLA lowers jnp.cumsum over N elements to a log-depth scan of full
+    passes — several ms at the encoder's 2M-column meta scale. Instead:
+    rows of 512 are prefix-summed by one (nb, 512) @ (512, 512)
+    upper-triangular matmul, block offsets by a tiny scan. Exact when
+    every element fits bf16 (< 256 here: per-column voxel counts <= 64)
+    and the total < 2^24 (f32 accumulator).
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.cumsum(x)
+    return _block_cumsum_i32(x)
+
+
+def _block_cumsum_i32(x: jax.Array) -> jax.Array:
+    n = x.shape[0]
+    bs = 512
+    nb = -(-n // bs)
+    xb = jnp.pad(x, (0, nb * bs - n)).reshape(nb, bs).astype(jnp.bfloat16)
+    tri = jnp.asarray(
+        np.tril(np.ones((bs, bs), np.float32)).T, jnp.bfloat16
+    )  # upper-triangular incl diag: out[j] = sum_{i<=j} x[i]
+    incl = jnp.dot(
+        xb, tri, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (nb, bs)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(incl[:, -1])[:-1]]
+    )
+    return (incl + offs[:, None]).reshape(-1)[:n]
+
+
 def _meta_from_bits(bits0, bits1):
     """[bits0, bits1, exclusive-cumsum(count), count] rows; the final
     (overflow) slot gets zero bits."""
@@ -152,7 +186,7 @@ def _meta_from_bits(bits0, bits1):
         jax.lax.population_count(bits0) + jax.lax.population_count(bits1)
     )
     row_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+        [jnp.zeros((1,), jnp.int32), exact_cumsum_i32(counts)[:-1]]
     )
     return jnp.stack([bits0, bits1, row_start, counts], axis=-1)
 
@@ -220,33 +254,47 @@ def build_conv_rules(
 
     z0 = out_coords[:, 0] * sz - pz
     meta = in_table.meta
-    if kx == 3:
-        # The 3 dx taps of one dy band read ADJACENT meta rows (columns
-        # c-1, c, c+1), so fetch them as one 48-byte row from a widened
-        # table: XLA row gathers are row-setup-bound (~190 Mrows/s on
-        # this chip regardless of row size), so 3 gathers of triples beat
-        # 9 gathers of singles ~3x. mp[i] = meta[i-1] with zero-bit
-        # sentinels on both ends (zero bitmask rows can never hit).
-        zrow = jnp.zeros((1, 4), meta.dtype)
-        mp = jnp.concatenate([zrow, meta, zrow], axis=0)  # (n_col+3, 4)
-        meta3 = jnp.concatenate(
-            [mp[:-2], mp[1:-1], mp[2:]], axis=1
-        )  # (n_col+1, 12): row c -> meta[c-1], meta[c], meta[c+1]
+    if ky == 3 and kx == 3:
+        # All 9 BEV taps of one output site read meta rows at fixed
+        # offsets dy*W + dx from the site's base column, so fetch them as
+        # ONE 144-byte row from a widened table: XLA row gathers are
+        # row-setup-bound (~190 Mrows/s on this chip regardless of row
+        # size), so 1 gather of 9-tuples beats 3 gathers of triples ~3x
+        # (and 9 gathers of singles ~9x). meta9[c] holds meta[c + dy*W +
+        # dx - (W+1)] for the 9 taps; out-of-range taps read neighboring
+        # rows' meta (x wrap-around) and are masked by bev_ok below, as
+        # in the narrow path. Zero-padding rows can never produce a hit
+        # (zero z-bitmask).
+        # base columns span [-(W+1), n_col - 1] (a bottom-row site's dy=0
+        # band is still valid), so meta9 rows cover q = base + W + 1 in
+        # [0, n_col + W] and mp is right-padded far enough for the
+        # largest slice offset (2W + 2).
+        nr = n_col + W + 1
+        mp = jnp.concatenate(
+            [jnp.zeros((W + 1, 4), meta.dtype), meta,
+             jnp.zeros((2 * W + 2, 4), meta.dtype)], 0
+        )
+        meta9 = jnp.concatenate(
+            [mp[dy * W + dx:dy * W + dx + nr]
+             for dy in range(3) for dx in range(3)],
+            axis=1,
+        )  # (nr, 36): row c+W+1 -> meta[c + dy*W + dx]
+        base_col = (
+            (out_coords[:, 1] * sy - py) * W
+            + out_coords[:, 2] * sx - px
+        )
+        q = jnp.clip(base_col + (W + 1), 0, nr - 1)
+        m9 = meta9[jnp.where(out_valid, q, 0)]  # (Vo, 36)
     per_bev = []
     for dy in range(ky):
         yi = out_coords[:, 1] * sy - py + dy
         y_ok = out_valid & (yi >= 0) & (yi < H)
-        if kx == 3:
-            base = out_coords[:, 2] * sx - px  # dx=0 tap column offset
-            q = jnp.where(y_ok, yi * W + base + 1, n_col)
-            trip = meta3[jnp.clip(q, 0, n_col)]  # (Vo, 12)
         for dx in range(kx):
             xi = out_coords[:, 2] * sx - px + dx
             bev_ok = y_ok & (xi >= 0) & (xi < W)
-            if kx == 3:
-                w0 = trip[:, 4 * dx + 0]
-                w1 = trip[:, 4 * dx + 1]
-                start = trip[:, 4 * dx + 2]
+            if ky == 3 and kx == 3:
+                t = 4 * (dy * 3 + dx)
+                w0, w1, start = m9[:, t], m9[:, t + 1], m9[:, t + 2]
             else:
                 colq = jnp.where(bev_ok, yi * W + xi, n_col)
                 m = meta[colq]  # (Vo, 4) one 16B fetch per BEV tap

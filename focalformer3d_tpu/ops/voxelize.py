@@ -19,6 +19,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from .sparse_conv import exact_cumsum_i32
+
 
 @dataclasses.dataclass(frozen=True)
 class VoxelConfig:
@@ -96,7 +98,7 @@ def hard_voxelize(cfg: VoxelConfig, points: jax.Array, mask: jax.Array):
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     ) & svalid
-    voxel_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # dense slot per run
+    voxel_id = exact_cumsum_i32(is_start.astype(jnp.int32)) - 1  # dense slot per run
     # rank of point within its voxel run
     pos = jnp.arange(N, dtype=jnp.int32)
     run_start_pos = jnp.where(is_start, pos, 0)
@@ -146,7 +148,7 @@ def dynamic_voxelize(cfg: VoxelConfig, points: jax.Array, mask: jax.Array):
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     ) & svalid
-    voxel_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    voxel_id = exact_cumsum_i32(is_start.astype(jnp.int32)) - 1
 
     seg = jnp.where(svalid & (voxel_id < V), voxel_id, V)
     sorted_pts = points[order]
@@ -190,7 +192,7 @@ def hard_voxelize_simple(cfg: VoxelConfig, points: jax.Array,
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     ) & svalid
-    voxel_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    voxel_id = exact_cumsum_i32(is_start.astype(jnp.int32)) - 1
     pos = jnp.arange(N, dtype=jnp.int32)
 
     # equal keys are contiguous after the sort, so per-voxel sums are

@@ -252,3 +252,52 @@ def test_points_in_boxes_matches_numpy_oracle():
     for p in range(len(pts)):
         inside = np.nonzero(oracle[p])[0]
         assert idx[p] == (inside[0] if len(inside) else -1)
+
+
+def test_block_cumsum_i32_matches_numpy():
+    """MXU block cumsum (sparse_conv.exact_cumsum_i32 TPU path) is exact
+    for per-column voxel counts (< 256, bf16-representable) at every
+    padding edge case."""
+    rng = np.random.RandomState(7)
+    for n in (1, 511, 512, 513, 4096, 120001):
+        x = jnp.asarray(rng.randint(0, 65, size=n), jnp.int32)
+        got = np.asarray(sparse_conv._block_cumsum_i32(x))
+        np.testing.assert_array_equal(got, np.cumsum(np.asarray(x)))
+
+
+def test_conv_rules_meta9_grid_corners():
+    """build_conv_rules' single meta9 gather handles sites on every grid
+    edge (bottom-row sites index meta9 rows up to n_col + W; x-wrap
+    neighbours must be masked, not read)."""
+    D, H, W = 4, 5, 6
+    shape = (D, H, W)
+    pts = np.array(
+        [[0, 0, 0], [3, 4, 5], [0, 4, 0], [3, 0, 5], [2, 2, 3],
+         [1, 4, 5], [0, 0, 5], [3, 4, 0]], np.int32)
+    V = 16
+    coords = np.pad(pts, ((0, V - len(pts)), (0, 0)))
+    valid = np.arange(V) < len(pts)
+    key = np.where(valid, (coords[:, 1] * W + coords[:, 2]) * D + coords[:, 0],
+                   2**31 - 1)
+    order = np.argsort(key)
+    coords, valid = jnp.asarray(coords[order]), jnp.asarray(valid[order])
+    table = sparse_conv.build_table_csr(coords, valid, shape)
+    rules = np.asarray(sparse_conv.build_conv_rules(
+        table, shape, coords, valid, 3, 1, (1, 1, 1), use_positions=True))
+
+    pos = {tuple(c): i for i, c in enumerate(np.asarray(coords))
+           if valid[i]}
+    for j, c in enumerate(np.asarray(coords)):
+        if not valid[j]:
+            assert (rules[:, j] == V).all()
+            continue
+        z, y, x = c
+        k = 0
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    zi, yi, xi = z - 1 + dz, y - 1 + dy, x - 1 + dx
+                    inb = 0 <= zi < D and 0 <= yi < H and 0 <= xi < W
+                    exp = pos.get((zi, yi, xi), V) if inb else V
+                    assert rules[k, j] == exp, (j, (dz, dy, dx))
+                    k += 1
