@@ -150,6 +150,47 @@ def main():
         print(f"stage breakdown unavailable: {e}", file=sys.stderr)
 
     try:
+        # HBM bytes/scan from XLA's cost model (arithmetic-intensity
+        # observability — VERDICT r2 item 1d)
+        ca = infer.lower(variables, points, mask, eps).compile()
+        cost = ca.cost_analysis()
+        if cost:
+            extra["bytes_accessed_per_scan"] = int(
+                cost.get("bytes accessed", 0))
+            extra["gflops_per_scan"] = round(
+                cost.get("flops", 0.0) / 1e9, 1)
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
+    try:
+        # batched deployment throughput (pipelined, batch B): amortizes
+        # index-build + weight traffic; reported alongside the batch-1
+        # headline (the driver metric stays single-scan)
+        bsz = int(os.environ.get("FF3D_BENCH_BATCH", "4"))
+        if bsz > 1:
+            batch_b = synthetic.make_batch(
+                rng, batch_size=bsz, n_points=n_points, n_boxes=24,
+                max_gts=32, num_classes=cfg.decoder.num_classes,
+                pc_range=cfg.voxel.point_cloud_range, mode="radial",
+            )
+            pb_ = jnp.asarray(batch_b["points"])
+            mb_ = jnp.asarray(batch_b["points_mask"])
+            res, eps_b = infer(variables, pb_, mb_, jnp.float32(0))
+            _ = float(eps_b)
+            res, eps_b = infer(variables, pb_, mb_, eps_b)
+            _ = float(eps_b)
+            t0 = time.perf_counter()
+            for _ in range(max(iters // bsz, 5)):
+                res, last_b = infer(variables, pb_, mb_, eps_b)
+            _ = float(last_b)
+            dt = (time.perf_counter() - t0) / max(iters // bsz, 5)
+            extra[f"scans_per_sec_batch{bsz}"] = round(bsz / dt, 3)
+            print(f"batch-{bsz} throughput: {bsz / dt:.2f} scans/s",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"batched bench unavailable: {e}", file=sys.stderr)
+
+    try:
         # occupancy + pallas-plan spill diagnostics (bench realism +
         # exactness observability — VERDICT r2 items 1d/5, ADVICE medium 1)
         occ = int(jnp.sum(vox0["voxel_mask"]))

@@ -119,6 +119,72 @@ def merge_tta_results(
     return merge_aug_boxes(cfg, boxes, scores, labels, valid)
 
 
+def dump_aug_cache(cache_dir, sample_idx, boxes, scores, labels, valid):
+    """Persist one sample's mapped-back TTA candidates for OFFLINE
+    ensembling (reference merge_augs.py:35-109 pickles
+    {aug_bboxes, aug_scores, aug_labels} per sample into
+    ./merge_augs/<model>/sampleidx_<idx>.pkl; ensemble mode later
+    concatenates every cached model's candidates before NMS).
+
+    Only the valid rows are stored; arrays are host numpy.
+    """
+    import os
+    import pickle
+
+    import numpy as np
+
+    os.makedirs(cache_dir, exist_ok=True)
+    v = np.asarray(valid)
+    payload = {
+        "aug_bboxes": np.asarray(boxes)[v].astype(np.float32),
+        "aug_scores": np.asarray(scores)[v].astype(np.float32),
+        "aug_labels": np.asarray(labels)[v].astype(np.int32),
+    }
+    with open(
+        os.path.join(cache_dir, f"sampleidx_{sample_idx}.pkl"), "wb"
+    ) as f:
+        pickle.dump(payload, f)
+
+
+def load_ensemble(folders: Sequence[str], sample_idx, pad_to: int):
+    """Concatenate cached TTA candidates from several model folders and
+    pad to a fixed count (jit-friendly). Returns (boxes (P, box_dim),
+    scores (P,), labels (P,), valid (P,)) numpy arrays.
+
+    Counterpart of the reference's ensemble branch
+    (merge_augs.py:35-57): each folder is one model's dump from
+    ``dump_aug_cache``; missing files raise.
+    """
+    import os
+    import pickle
+
+    import numpy as np
+
+    bs, ss, ls = [], [], []
+    for folder in folders:
+        with open(
+            os.path.join(folder, f"sampleidx_{sample_idx}.pkl"), "rb"
+        ) as f:
+            t = pickle.load(f)
+        bs.append(t["aug_bboxes"])
+        ss.append(t["aug_scores"])
+        ls.append(t["aug_labels"])
+    boxes = np.concatenate(bs, 0)
+    scores = np.concatenate(ss, 0)
+    labels = np.concatenate(ls, 0)
+    n = len(scores)
+    if n > pad_to:
+        keep = np.argsort(-scores)[:pad_to]
+        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        n = pad_to
+    pad = pad_to - n
+    boxes = np.pad(boxes, ((0, pad), (0, 0)))
+    scores = np.pad(scores, (0, pad))
+    labels = np.pad(labels, (0, pad))
+    valid = np.arange(pad_to) < n
+    return boxes, scores, labels, valid
+
+
 def tta_augs(tta_cfg: dict):
     """Expand a config 'tta' dict into (scale, flip_h, flip_v) passes
     (reference MultiScaleFlipAug3D: pts_scale_ratio x double-flip,

@@ -144,3 +144,53 @@ def test_tta_augs_expansion():
     assert augs[0] == (1.0, False, False)
     augs = tta_augs({})
     assert len(augs) == 4
+
+
+def test_offline_ensemble_cache_roundtrip(tmp_path):
+    """dump_aug_cache / load_ensemble mirror the reference's offline
+    ensembling pickles (merge_augs.py:35-109): two model folders, one
+    sample; the loaded concat feeds merge_aug_boxes unchanged."""
+    import numpy as np
+
+    from focalformer3d_tpu.core.merge_augs import (
+        TTAConfig, dump_aug_cache, load_ensemble, merge_aug_boxes,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def cands(n, score0):
+        b = rng.randn(n, 9).astype(np.float32)
+        b[:, 3:6] = np.abs(b[:, 3:6]) + 1.0
+        s = np.linspace(score0, 0.1, n).astype(np.float32)
+        l = rng.randint(0, 3, size=n).astype(np.int32)
+        v = np.ones(n, bool)
+        v[-1] = False  # one invalid row must be dropped at dump time
+        return b, s, l, v
+
+    d1, d2 = tmp_path / "m1", tmp_path / "m2"
+    b1, s1, l1, v1 = cands(6, 0.9)
+    b2, s2, l2, v2 = cands(4, 0.8)
+    dump_aug_cache(d1, "tok42", b1, s1, l1, v1)
+    dump_aug_cache(d2, "tok42", b2, s2, l2, v2)
+
+    eb, es, el, ev = load_ensemble([str(d1), str(d2)], "tok42", pad_to=16)
+    assert ev.sum() == 5 + 3  # invalid rows dropped, rest concatenated
+    np.testing.assert_allclose(eb[:5], b1[:5])
+    np.testing.assert_allclose(eb[5:8], b2[:3])
+    assert (es[8:] == 0).all() and not ev[8:].any()
+
+    merged = merge_aug_boxes(
+        TTAConfig(num_classes=3),
+        jnp.asarray(eb)[None], jnp.asarray(es)[None],
+        jnp.asarray(el)[None], jnp.asarray(ev)[None],
+    )
+    m = np.asarray(merged["mask"])
+    assert m.any() and not m[8:].any()  # padding never survives
+    # the global best candidate survives NMS
+    assert m[int(np.argmax(es))]
+
+    # pad_to smaller than the pool keeps the top-scoring candidates
+    eb3, es3, el3, ev3 = load_ensemble(
+        [str(d1), str(d2)], "tok42", pad_to=4)
+    assert ev3.all() and es3.min() >= np.sort(
+        np.concatenate([s1[v1], s2[v2]]))[-4]

@@ -38,6 +38,14 @@ def parse_args():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--tta", action="store_true",
                    help="double-flip TTA with box voting")
+    p.add_argument("--tta-cache-dir", default=None,
+                   help="dump per-sample mapped-back TTA candidates "
+                        "(pre-NMS) for offline ensembling — reference "
+                        "merge_augs.py temp_result_folder semantics")
+    p.add_argument("--tta-ensemble", nargs="+", default=None,
+                   help="skip inference; merge cached TTA candidates "
+                        "from these model folders (reference "
+                        "merge_augs.py ensemble=True semantics)")
     p.add_argument("--official-eval", action="store_true",
                    help="run the nuscenes-devkit DetectionEval on the "
                         "submission (needs --out, raw dataset, devkit)")
@@ -128,6 +136,44 @@ def main():
     for i in range(n):
         s = ds.get_sample(i, rng)
         token = s["token"]
+        if args.tta_ensemble:
+            # offline ensemble: merge cached candidates from several
+            # models, no forward pass (ref merge_augs.py ensemble=True)
+            from focalformer3d_tpu.core.merge_augs import (
+                load_ensemble, merge_aug_boxes,
+            )
+
+            eb, es, el, ev = load_ensemble(
+                args.tta_ensemble, token,
+                pad_to=args.max_out * 8 * len(args.tta_ensemble),
+            )
+            merged = merge_aug_boxes(
+                TTAConfig(num_classes=len(classes)),
+                jnp.asarray(eb)[None], jnp.asarray(es)[None],
+                jnp.asarray(el)[None], jnp.asarray(ev)[None],
+            )
+            m = np.asarray(merged["mask"])
+            predictions[token] = {
+                "boxes": np.asarray(merged["bboxes"])[m],
+                "scores": np.asarray(merged["scores"])[m],
+                "labels": np.asarray(merged["labels"])[m],
+            }
+            if "gt_boxes" in s and len(s["gt_boxes"]):
+                names = s["gt_names"]
+                keep = [j for j, nm in enumerate(names) if nm in classes]
+                gt[token] = {
+                    "boxes": s["gt_boxes"][keep],
+                    "labels": np.asarray(
+                        [classes.index(names[j]) for j in keep], np.int32
+                    ),
+                }
+                if "gt_l2_only" in s:
+                    gt[token]["l2_only"] = np.asarray(
+                        s["gt_l2_only"])[keep]
+            else:
+                gt[token] = {"boxes": np.zeros((0, 9)),
+                             "labels": np.zeros(0)}
+            continue
         aug_results = []
         for scale, fh, fv in augs:
             sa = dict(s)
@@ -165,6 +211,28 @@ def main():
                 "labels": np.asarray(dec["labels"])[m],
             }
         else:
+            if args.tta_cache_dir:
+                from focalformer3d_tpu.core.merge_augs import (
+                    dump_aug_cache, mapping_back,
+                )
+
+                mb = [
+                    np.asarray(mapping_back(
+                        r["bboxes"], jnp.asarray(sc_), jnp.asarray(fh),
+                        jnp.asarray(fv),
+                    ))
+                    for r, (sc_, fh, fv) in zip(aug_results, augs)
+                ]
+                dump_aug_cache(
+                    args.tta_cache_dir, token,
+                    np.concatenate(mb, 0),
+                    np.concatenate(
+                        [np.asarray(r["scores"]) for r in aug_results]),
+                    np.concatenate(
+                        [np.asarray(r["labels"]) for r in aug_results]),
+                    np.concatenate(
+                        [np.asarray(r["mask"]) for r in aug_results]),
+                )
             merged = merge_tta_results(
                 TTAConfig(num_classes=len(classes)), aug_results,
                 scales=[a[0] for a in augs],
