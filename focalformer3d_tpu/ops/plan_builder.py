@@ -127,13 +127,13 @@ def _test2(b0, b1, z):
 
 
 def _plan_kernel(
-    seg_ref,  # SMEM (n_tiles*G,) int32 window segment per (tile, band)
+    seg_ref,  # SMEM (n_sub*G,) int32 window segment per (site-block, band)
     fst_ref,  # SMEM (n_tiles*G,) int32 feature-window start per (tile, band)
-    colz_ref,  # VMEM (1, 1, T) int32 packed site col*64+z (-1 pad)
+    colz_ref,  # VMEM (1, 1, S) int32 packed site col*64+z (-1 pad)
     win_ref,  # VMEM (_SEG_ROWS, 128) bf16 chunk window (auto-sliced)
     rmat_ref,  # VMEM (128, 128) bf16 reconstruction matrix
-    out_ref,  # VMEM (1, T, 16) int32 codes, lanes dz*kx+dx
-    oh_ref,  # scratch VMEM (kx*T, _SEG_ROWS) bf16
+    out_ref,  # VMEM (1, S, 16) int32 codes, lanes dz*kx+dx
+    oh_ref,  # scratch VMEM (kx*S, _SEG_ROWS) bf16
     *,
     g: None,
     kernel_size,
@@ -143,6 +143,7 @@ def _plan_kernel(
     out_w: int,
     window_f: int,
     n_tiles: int,
+    subs_per_tile: int,
 ):
     kz, ky, kx = kernel_size
     sz, sy, sx = stride
@@ -165,7 +166,11 @@ def _plan_kernel(
     x = col - y * out_w
 
     cstart = seg_ref[i * G + gg] * _SEG_COLS
-    fstart = fst_ref[i * G + gg]
+    # the feature window belongs to the CONV tile this site-block is part
+    # of (the conv kernel slices one feature window per (tile, band));
+    # the column-window segment above is per site-block so sparse tiles
+    # spanning > _SEG_COLS columns don't flood the miss list
+    fstart = fst_ref[(i // subs_per_tile) * G + gg]
 
     yi = y * sy - py + gg
     y_ok = site_ok & (yi >= 0) & (yi < H)
@@ -233,20 +238,20 @@ def _plan_kernel(
 
 
 def _run_plan_kernel(
-    chunks, colz_tiles, segs, fstarts, rmat,
+    chunks, colz_sub, segs, fstarts, rmat,
     kernel_size, stride, padding, in_shape, out_w,
-    window_f, interpret,
+    window_f, subs_per_tile, interpret,
 ):
     kz, ky, kx = kernel_size
-    n_tiles, T = colz_tiles.shape
+    n_sub, S = colz_sub.shape
     G = ky
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, G),
+        grid=(n_sub, G),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, T), lambda i, g, s, f: (i, 0, 0),
+                (1, 1, S), lambda i, g, s, f: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -257,11 +262,11 @@ def _run_plan_kernel(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, _CPL), lambda i, g, s, f: (i * G + g, 0, 0),
+            (1, S, _CPL), lambda i, g, s, f: (i * G + g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((kx * T, _SEG_ROWS), jnp.bfloat16),
+            pltpu.VMEM((kx * S, _SEG_ROWS), jnp.bfloat16),
         ],
     )
     codes = pl.pallas_call(
@@ -274,18 +279,19 @@ def _run_plan_kernel(
             in_shape=in_shape,
             out_w=out_w,
             window_f=window_f,
-            n_tiles=n_tiles,
+            n_tiles=n_sub,
+            subs_per_tile=subs_per_tile,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * G, T, _CPL), jnp.int32
+            (n_sub * G, S, _CPL), jnp.int32
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(segs, fstarts, colz_tiles[:, None, :], chunks, rmat)
+    )(segs, fstarts, colz_sub[:, None, :], chunks, rmat)
     return codes
 
 
@@ -402,23 +408,40 @@ def build_plan_mxu(
         chunks = pack_meta_chunks(meta)
     nseg = chunks.shape[0] // _SEG_ROWS
 
-    # per-(tile, band) window segment + feature-window start, from each
-    # tile's first (minimal-column) site — tap columns are nondecreasing
-    # within a tile, so a 2-segment window covers spans < ~2048 columns.
-    fs = colz_t[:, 0]
-    fs_ok = fs >= 0
-    fcol = jnp.where(fs_ok, fs >> 6, 0)
-    fy = fcol // out_w
-    fx = fcol - fy * out_w
-    segs = []
-    fstarts = []
+    # Column-window SEGMENTS are assigned per 64-site sub-block: a full
+    # 256-site tile of a sparse set can span several thousand columns
+    # (256 sites x ~13 cols/site at scan scale), far past the one
+    # _SEG_COLS window a single first-site segment covers — that flooded
+    # the exact miss list (~1.6M flags at scan scale) and silently
+    # truncated past its capacity. Feature-window STARTS stay per conv
+    # tile (the conv kernel slices one feature window per tile/band);
+    # tap columns and CSR positions are nondecreasing in site order, so
+    # each block/tile's first site gives the true minimum.
+    sb = min(64, tile)
+    if tile % sb:  # pragma: no cover - config error
+        raise ValueError(f"tile {tile} not a multiple of {sb}")
+    spt = tile // sb
+    n_sub = n_tiles * spt
+    colz_sub = colz_t.reshape(n_sub, sb)
     sy, sx = strides[1], strides[2]
     py, px = pads[1], pads[2]
-    for g in range(ky):
-        cq = (fy * sy - py + g) * W + fx * sx - px
-        cq = jnp.clip(cq, 0, n_col - 1)
-        seg = jnp.clip(cq // _SEG_COLS, 0, nseg - 1).astype(jnp.int32)
-        segs.append(seg)
+
+    def band_cols(first_colz):
+        ok = first_colz >= 0
+        col = jnp.where(ok, first_colz >> 6, 0)
+        y = col // out_w
+        x = col - y * out_w
+        return [
+            jnp.clip((y * sy - py + g) * W + x * sx - px, 0, n_col - 1)
+            for g in range(ky)
+        ]
+
+    segs = [
+        jnp.clip(cq // _SEG_COLS, 0, nseg - 1).astype(jnp.int32)
+        for cq in band_cols(colz_sub[:, 0])
+    ]
+    fstarts = []
+    for cq in band_cols(colz_t[:, 0]):
         st = meta[cq, 2]
         st = jnp.minimum(st, vp - window) & ~(_FALIGN - 1)
         fstarts.append(jnp.maximum(st, 0).astype(jnp.int32))
@@ -427,12 +450,14 @@ def build_plan_mxu(
 
     rmat = jnp.asarray(_recon_matrix(), jnp.bfloat16)
     codes = _run_plan_kernel(
-        chunks, colz_t, seg_arr, fst_arr, rmat,
+        chunks, colz_sub, seg_arr, fst_arr, rmat,
         (kz, ky, kx), strides, pads, in_shape, out_w,
-        window, interpret,
-    )  # (n_tiles*G, T, 16)
+        window, spt, interpret,
+    )  # (n_sub*G, sb, 16)
 
-    codes = codes.reshape(n_tiles, G, tile, _CPL)[..., : kz * kx]
+    codes = codes.reshape(n_tiles, spt, G, sb, _CPL).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(n_tiles, G, tile, _CPL)[..., : kz * kx]
     # band-major tap layout == plan.perm order (dz-major, dx-minor per band)
     rel_bm = jnp.transpose(codes, (0, 2, 1, 3)).reshape(
         n_tiles, tile, G * kz * kx
@@ -467,25 +492,25 @@ def build_plan_mxu(
         ki = rest % K
         return oob, ti, si, ki
 
-    half = overflow_capacity // 2
-    # (a) feature-window overflow: position is carried in the code
-    oob_a, ti_a, si_a, ki_a = compact(over, half)
-    pos_a = jnp.where(
-        oob_a, in_capacity, rel_bm[ti_a, si_a, ki_a] - (window + 1)
-    )
-    out_a = jnp.where(oob_a, ktv, ti_a * tile + si_a)
-    tap_a = jnp.asarray(porig)[jnp.minimum(ki_a, K - 1)]
-    tap_a = jnp.where(oob_a, 0, tap_a)
-
-    # (b) column-window misses: recompute the position via a (bounded)
-    # XLA meta gather — same math as sparse_conv.build_conv_rules
-    oob_b, ti_b, si_b, ki_b = compact(cm, half)
-    tap_b = jnp.asarray(porig)[jnp.minimum(ki_b, K - 1)]
-    dz_b = tap_b // (ky * kx)
-    dy_b = (tap_b // kx) % ky
-    dx_b = tap_b % kx
-    czs = colz_t[ti_b, si_b]
-    czs = jnp.where(oob_b | (czs < 0), 0, czs)
+    # single union compaction over both flag kinds — a fixed half/half
+    # split let either kind silently truncate at half capacity (the L2
+    # chained-encoder divergence: 2.5k feature-window overflows vs a
+    # 2048 half)
+    oob_u, ti_u, si_u, ki_u = compact(over | cm, overflow_capacity)
+    code_u = rel_bm[ti_u, si_u, ki_u]
+    is_over = ~oob_u & (code_u > window)
+    tap_u = jnp.asarray(porig)[jnp.minimum(ki_u, K - 1)]
+    tap_u = jnp.where(oob_u, 0, tap_u)
+    # (a) feature-window overflow: the absolute position is carried in
+    # the code
+    pos_a = code_u - (window + 1)
+    # (b) column-window misses: recompute via a (bounded) XLA meta
+    # gather — same math as sparse_conv.build_conv_rules
+    dz_b = tap_u // (ky * kx)
+    dy_b = (tap_u // kx) % ky
+    dx_b = tap_u % kx
+    czs = colz_t[ti_u, si_u]
+    czs = jnp.where(oob_u | (czs < 0), 0, czs)
     colb = czs >> 6
     zb = czs & 63
     yb = colb // out_w
@@ -494,7 +519,7 @@ def build_plan_mxu(
     xi = xb * strides[2] - pads[2] + dx_b
     zi = zb * strides[0] - pads[0] + dz_b
     okb = (
-        ~oob_b & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        ~oob_u & (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         & (zi >= 0) & (zi < D)
     )
     colq = jnp.where(okb, yi * W + xi, n_col)
@@ -503,8 +528,10 @@ def build_plan_mxu(
     pos_b = jnp.where(
         hit, m[:, 2] + sc._rank(m[:, 0], m[:, 1], zi), in_capacity
     )
-    out_b = jnp.where(oob_b, ktv, ti_b * tile + si_b)
-    tap_b = jnp.where(oob_b, 0, tap_b)
+    pos_u = jnp.where(
+        oob_u, in_capacity, jnp.where(is_over, pos_a, pos_b)
+    )
+    out_u = jnp.where(oob_u, ktv, ti_u * tile + si_u)
 
     rel = jnp.where(over | cm, window, rel_bm).astype(jnp.int32)
 
@@ -519,9 +546,9 @@ def build_plan_mxu(
     return TilePlan(
         rel=rel,
         starts=jnp.concatenate([fst_arr, n_active[None]]),
-        ov_pos=jnp.concatenate([pos_a, pos_b]).astype(jnp.int32),
-        ov_out=jnp.concatenate([out_a, out_b]).astype(jnp.int32),
-        ov_tap=jnp.concatenate([tap_a, tap_b]).astype(jnp.int32),
+        ov_pos=pos_u.astype(jnp.int32),
+        ov_out=out_u.astype(jnp.int32),
+        ov_tap=tap_u.astype(jnp.int32),
         n_overflow=n_overflow,
         v_out=v_out,
         window=window,

@@ -255,13 +255,6 @@ class TestDenseTail:
 
 
 class TestMxuEngineParity:
-    @pytest.mark.xfail(
-        reason="pallas_mxu engine composition bug: op-level plan parity "
-        "holds (test_plan_builder) but the chained encoder diverges "
-        "~0.3 max; engine also measured slower than 'pallas' at scan "
-        "scale with first-site window assignment spilling ~1.6M rules, "
-        "so it is not the production path ('auto' selects 'pallas'). "
-        "Tracked for r4.", strict=False)
     def test_pallas_mxu_engine_matches_voxel(self):
         """engine='pallas_mxu' (MXU-gather plan builder + pallas conv,
         interpret mode on CPU) equals the voxel engine on the SAME
