@@ -420,8 +420,11 @@ class SparseEncoder(nn.Module):
             """Batched MXU-gather plan build (ops/plan_builder.py). The
             transposed plan for the backward pass is built from an XLA
             rulebook decode — dead-code-eliminated by XLA in inference."""
-            win = min(self.plan_window, scp._padded_rows(in_cap))
-            win_t = min(self.plan_window, scp._padded_rows(out_cap))
+            strided = (stride if isinstance(stride, int) else
+                       max(stride)) > 1
+            base_w = self.plan_window_down if strided else self.plan_window
+            win = min(base_w, scp._padded_rows(in_cap))
+            win_t = min(base_w, scp._padded_rows(out_cap))
             tile = self.plan_tile
             ov = self.plan_overflow
             B = meta.shape[0]
