@@ -109,6 +109,35 @@ def main():
     t = timeit(bd2_fn, table, oc, ov)
     print(f"build_plan_direct(s2):{t*1e3:8.2f} ms", flush=True)
 
+    # MXU-gather plan builder (ops/plan_builder.py), subm + strided —
+    # now exact at tile 256 (sub-block segments + union spill list)
+    from focalformer3d_tpu.ops import plan_builder as pb
+
+    chunks = jax.jit(pb.pack_meta_chunks)(table.meta)
+    _ = float(chunks[0, 0])
+    colz = jax.jit(lambda c, v: pb.colz_from_coords(c, v, shape[2]))(
+        coords, valid)
+    mx_fn = jax.jit(lambda m, cz, ch: plansum(pb.build_plan_mxu(
+        m, cz, V, 3, 1, (1, 1, 1), shape, shape[2], tile=256,
+        window=512, overflow_capacity=16384, chunks=ch)))
+    t = timeit(mx_fn, table.meta, colz, chunks)
+    print(f"build_plan_mxu:       {t*1e3:8.2f} ms", flush=True)
+
+    colz_o = jax.jit(lambda c, v: pb.colz_from_coords(c, v, _os[2]))(
+        oc, ov)
+    mx2_fn = jax.jit(lambda m, cz, ch: plansum(pb.build_plan_mxu(
+        m, cz, V, 3, 2, (1, 1, 1), shape, _os[2], tile=256,
+        window=896, overflow_capacity=16384, chunks=ch)))
+    t = timeit(mx2_fn, table.meta, colz_o, chunks)
+    print(f"build_plan_mxu(s2):   {t*1e3:8.2f} ms", flush=True)
+
+    # pack + colz costs that the mxu path adds per level
+    t = timeit(jax.jit(pb.pack_meta_chunks), table.meta)
+    print(f"pack_meta_chunks:     {t*1e3:8.2f} ms", flush=True)
+    cz_fn = jax.jit(lambda m: pb.colz_from_meta(m, 245760, d=21))
+    t = timeit(cz_fn, om)
+    print(f"colz_from_meta(L1):   {t*1e3:8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
