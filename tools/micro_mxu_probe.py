@@ -113,7 +113,8 @@ def probe_matmuls():
 # --------------------------------------------------------------------------
 
 def _variant_kernel(starts_ref, x_ref, rel_ref, wbig_ref, out_ref,
-                    oh_ref, mb_ref, *, n_groups, pack, window, mode):
+                    oh_ref, mb_ref, oh2_ref, *, n_groups, pack, window,
+                    mode):
     i = pl.program_id(0)
     G = n_groups
     rel = rel_ref[0]
@@ -132,17 +133,58 @@ def _variant_kernel(starts_ref, x_ref, rel_ref, wbig_ref, out_ref,
     def _live():
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
         lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+
+        if mode == "merged":
+            # one block-diagonal dot per tile: all 3 bands' one-hots in a
+            # (K*T, G*wb) matrix against stacked windows (G*wb, cl) —
+            # tests whether issuing 1 big dot beats G smaller ones
+            acc = None
+            for g in range(G):
+                start = pl.multiple_of(starts_ref[i * G + g], scp._ALIGN)
+                win = x_ref[
+                    pl.ds(pl.multiple_of(start // pack, 8), wb), :
+                ].astype(jnp.bfloat16)
+                mb_ref[g * wb:(g + 1) * wb, :cl] = win
+                for j in range(tpg):
+                    r = rel[:, g * tpg + j][:, None]
+                    for gg in range(G):
+                        blk = (r // pack == iota_w) if gg == g else (
+                            jnp.zeros((T, wb), jnp.bool_))
+                        oh_ref[
+                            (g * tpg + j) * T:(g * tpg + j + 1) * T,
+                            gg * wb:(gg + 1) * wb,
+                        ] = blk.astype(jnp.bfloat16)
+            gath = jnp.dot(
+                oh_ref[:, :], mb_ref[: G * wb, :cl],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (K*T, cl)
+            for g in range(G):
+                for j in range(tpg):
+                    piece = gath[(g * tpg + j) * T:(g * tpg + j + 1) * T]
+                    if pack > 1:
+                        r = rel[:, g * tpg + j][:, None]
+                        piece = piece * (
+                            lane_blk == (r % pack)).astype(jnp.bfloat16)
+                    part = jnp.dot(
+                        piece, wbig_ref[g, j * cl:(j + 1) * cl, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+            out_ref[:, :] = acc.astype(out_ref.dtype)
+            return
+
         acc = None
         for g in range(G):
+            ohr = oh2_ref if (mode == "dbuf" and g % 2) else oh_ref
             if mode != "dots_only":
                 for j in range(tpg):
                     r = rel[:, g * tpg + j][:, None]
-                    oh_ref[j * T:(j + 1) * T, :] = (
+                    ohr[j * T:(j + 1) * T, :] = (
                         r // pack == iota_w
                     ).astype(jnp.bfloat16)
             if mode == "oh_only":
                 # cheap reduction keeps the oh build live
-                part = jnp.sum(oh_ref[:, :], axis=1)[:T, None]
+                part = jnp.sum(ohr[:, :], axis=1)[:T, None]
                 acc = part if acc is None else acc + part
                 continue
             start = pl.multiple_of(starts_ref[i * G + g], scp._ALIGN)
@@ -150,7 +192,7 @@ def _variant_kernel(starts_ref, x_ref, rel_ref, wbig_ref, out_ref,
                 pl.ds(pl.multiple_of(start // pack, 8), wb), :
             ].astype(jnp.bfloat16)
             gath = jnp.dot(
-                oh_ref[:, :], win, preferred_element_type=jnp.float32
+                ohr[:, :], win, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16)
             if mode == "pertap":
                 for j in range(tpg):
@@ -213,8 +255,13 @@ def run_variant(features, plan, weights, in_capacity, mode):
         out_specs=pl.BlockSpec((T, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM(
+                (K * T, G * (plan.window // pack)) if mode == "merged"
+                else (tpg * T, plan.window // pack), jnp.bfloat16),
+            pltpu.VMEM(
+                (G * (plan.window // pack), cl) if mode == "merged"
+                else (T, tpg * cl), jnp.bfloat16),
             pltpu.VMEM((tpg * T, plan.window // pack), jnp.bfloat16),
-            pltpu.VMEM((T, tpg * cl), jnp.bfloat16),
         ],
     )
     out = pl.pallas_call(
@@ -274,7 +321,8 @@ def probe_kernel(levels):
         t0 = timeit(base, feats, w)
         print(f"  production apply: {t0*1e3:7.2f} ms "
               f"({t0/plan.rel.shape[0]*1e6:.2f} us/tile)", flush=True)
-        for mode in ("full", "pertap", "oh_only", "dots_only"):
+        for mode in ("full", "pertap", "dbuf", "merged", "oh_only",
+                     "dots_only"):
             def wrap(f_, w_, m=mode):
                 fp = scp._pad_c(f_, 1)
                 wp = scp._pad_c(w_, 1)
