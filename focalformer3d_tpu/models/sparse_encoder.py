@@ -428,6 +428,7 @@ class SparseEncoder(nn.Module):
             tile = self.plan_tile
             ov = self.plan_overflow
             B = meta.shape[0]
+            subm = stride == 1 or stride == (1, 1, 1)
             pairs = []
             for b in range(B):
                 plan = pb.build_plan_mxu(
@@ -435,6 +436,11 @@ class SparseEncoder(nn.Module):
                     out_w, tile=tile, window=win, overflow_capacity=ov,
                     chunks=chunks[b],
                 )
+                if subm:
+                    # submanifold rulebooks are their own transpose
+                    # (sc.transposed_conv_rules docstring)
+                    pairs.append((plan, plan))
+                    continue
                 rules = pb.decode_rules(
                     None, colz_out[b], in_cap, meta[b], ks, stride, pad,
                     shp, out_w,
@@ -449,29 +455,51 @@ class SparseEncoder(nn.Module):
             return pair
 
         def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
-                       ks, stride, pad, window=None):
+                       ks, stride, pad, window=None, out_meta=None,
+                       out_shape=None):
             """Batched fused plan build (+ transposed plan for backward,
-            dead-code-eliminated by XLA in inference)."""
+            dead-code-eliminated by XLA in inference).
+
+            Transposed plans: submanifold rulebooks are their own
+            transpose (offset enumeration is symmetric — see
+            sc.transposed_conv_rules), so stride-1 plans are reused as
+            plan_t outright; strided plans decode the transposed
+            rulebook from the OUT meta instead of scattering K*V rows.
+            """
             win = min(window or self.plan_window, scp._padded_rows(in_cap))
             win_t = min(window or self.plan_window,
                         scp._padded_rows(out_cap))
             tile = self.plan_tile
             ov = self.plan_overflow
+            subm = stride == 1 or stride == (1, 1, 1)
 
-            def one(t, oc, o_v):
+            def one(t, oc, o_v, om=None):
                 rules = sc.build_conv_rules(
                     t, shp, oc, o_v, ks, stride, pad, use_positions=True
                 )
                 plan = scp.build_tile_plan(
                     rules, in_cap, ks, tile, win, ov
                 )
-                rules_t = scp.transpose_rules(rules, in_cap, ks)
+                if subm:
+                    return plan, plan
+                if om is None:
+                    rules_t = scp.transpose_rules(rules, in_cap, ks)
+                else:
+                    rules_t = sc.transposed_conv_rules(
+                        om, out_shape, t.coords, t.valid, out_cap, ks,
+                        stride, pad,
+                    )
                 plan_t = scp.build_tile_plan(
                     rules_t, out_cap, ks, tile, win_t, ov
                 )
                 return plan, plan_t
 
-            pair = jax.vmap(one)(table, out_coords, out_valid)
+            if subm or out_meta is None:
+                pair = jax.vmap(one)(table, out_coords, out_valid)
+            else:
+                pair = jax.vmap(one)(
+                    table, out_coords, out_valid, out_meta
+                )
             overflow_counts.append(pair[0].n_overflow)
             return pair
 
@@ -553,6 +581,7 @@ class SparseEncoder(nn.Module):
                     down_plans = make_plans(
                         table, shape, out_coords, out_valid, cap, out_cap,
                         3, 2, pad, window=self.plan_window_down,
+                        out_meta=out_meta, out_shape=out_shape,
                     )
                 else:
                     out_coords, out_valid, out_meta = jax.vmap(
@@ -627,6 +656,7 @@ class SparseEncoder(nn.Module):
                 table, shape, out_coords, out_valid, cap,
                 self.out_capacity, ks_out, (2, 1, 1), 0,
                 window=self.plan_window_down,
+                out_meta=out_meta, out_shape=out_shape,
             )
         else:
             out_coords, out_valid = jax.vmap(

@@ -315,6 +315,66 @@ def build_conv_rules(
     return in_table.rows[jnp.clip(pos_all, 0, V)].astype(jnp.int32)
 
 
+def transposed_conv_rules(
+    out_meta: jax.Array,  # column meta of the conv's OUTPUT active set
+    out_shape,
+    in_coords: jax.Array,  # (V_in, 3) the conv's INPUT sites (CSR order)
+    in_valid: jax.Array,
+    out_capacity: int,
+    kernel_size,
+    stride,
+    padding,
+) -> jax.Array:
+    """Transposed rulebook built by DECODE instead of scatter.
+
+    Equals ops.sparse_conv_pallas.transpose_rules(rules, V_in, k)
+    (rt[K-1-k, rules[k, j]] = j, misses = out_capacity) but costs one
+    meta-gather pass over the input sites instead of a K*V_out-row
+    scatter (~100 Mrows/s; the scatter dominated training-side plan
+    builds). Derivation: input site i feeds output j through tap d iff
+    j*s - p + d = i, i.e. j = (i + p - d)/s exactly divisible and
+    active; the rulebook row for tap K-1-k holds, per input site, the
+    OUT CSR position reached through mirrored tap k.
+
+    For submanifold convs (stride 1, pad (k-1)//2, out set == in set)
+    the transposed rulebook IS the forward rulebook: o_{K-1-k} = -o_k,
+    so rt[K-1-k, i] = pos(site_i - o_k) = rules[K-1-k, i] — callers
+    should simply reuse the forward plan and never call this.
+    """
+    kz, ky, kx = _as_triple(kernel_size)
+    sz, sy, sx = _as_triple(stride)
+    pz, py, px = _as_triple(padding)
+    Do, Ho, Wo = out_shape
+    n_col_o = Ho * Wo
+    K = kz * ky * kx
+    z, y, x = in_coords[:, 0], in_coords[:, 1], in_coords[:, 2]
+    taps = [None] * K
+    for dy in range(ky):
+        yn = y + py - dy
+        yj = yn // sy
+        y_ok = in_valid & (yn == yj * sy) & (yj >= 0) & (yj < Ho)
+        for dx in range(kx):
+            xn = x + px - dx
+            xj = xn // sx
+            bev_ok = y_ok & (xn == xj * sx) & (xj >= 0) & (xj < Wo)
+            colq = jnp.where(bev_ok, yj * Wo + xj, n_col_o)
+            m = out_meta[jnp.clip(colq, 0, n_col_o)]
+            w0, w1, start = m[:, 0], m[:, 1], m[:, 2]
+            for dz in range(kz):
+                zn = z + pz - dz
+                zj = zn // sz
+                ok = (
+                    bev_ok & (zn == zj * sz) & (zj >= 0) & (zj < Do)
+                    & _test_bit(w0, w1, zj)
+                )
+                pos = start + _rank(w0, w1, zj)
+                k = dz * ky * kx + dy * kx + dx
+                taps[K - 1 - k] = jnp.where(
+                    ok & (pos < out_capacity), pos, out_capacity
+                )
+    return jnp.stack(taps, axis=0).astype(jnp.int32)
+
+
 def table_from_meta(coords_csr, valid_csr, meta) -> VoxelTable:
     """Table over a CSR-ordered set whose column meta is already known
     (e.g. the out_meta of build_downsample) — rows are the identity."""

@@ -299,3 +299,68 @@ class TestMxuEngineParity:
         np.testing.assert_allclose(
             out_m / scale, out_v / scale, atol=3e-2
         )
+
+
+class TestPallasEncoderGrads:
+    def test_pallas_engine_grads_match_voxel(self):
+        """Gradient parity of the full pallas-engine encoder vs the voxel
+        engine (same params): exercises the transposed-plan path — subm
+        plans reused as their own transpose, strided plans decoded from
+        the OUT meta (sc.transposed_conv_rules) instead of scattered."""
+        rng = np.random.RandomState(12)
+        shape = (9, 24, 24)
+        kw = dict(
+            sparse_shape=shape, output_channels=16,
+            encoder_channels=((8, 8, 16), (16, 16)),
+            down_paddings=((1, 1, 1),),
+            capacities=(128, 512), out_capacity=512,
+            plan_window=128, plan_overflow=4096,
+        )
+        enc_v = SparseEncoder(engine="voxel", **kw)
+        enc_p = SparseEncoder(engine="pallas", **kw)
+        Dz, H, W = shape
+        v_cap, n_active = 128, 90
+        keys = rng.choice(Dz * H * W, n_active, replace=False)
+        coords = np.zeros((v_cap, 3), np.int32)
+        coords[:n_active, 0] = keys // (H * W)
+        coords[:n_active, 1] = (keys % (H * W)) // W
+        coords[:n_active, 2] = keys % W
+        valid = np.zeros(v_cap, bool)
+        valid[:n_active] = True
+        feats = (rng.randn(v_cap, 5) * valid[:, None]).astype(np.float32)
+        args = (
+            jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+            jnp.asarray(valid)[None],
+        )
+        variables = enc_v.init(jax.random.PRNGKey(0), *args, False)
+
+        def loss(enc):
+            def f(params, x):
+                out = enc.apply(
+                    {**variables, "params": params}, x, *args[1:], False
+                )
+                return jnp.sum(out * out)
+            return f
+
+        gv, gxv = jax.grad(loss(enc_v), argnums=(0, 1))(
+            variables["params"], args[0])
+        gp, gxp = jax.grad(loss(enc_p), argnums=(0, 1))(
+            variables["params"], args[0])
+        scale = max(float(jnp.abs(gxv).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gxp) / scale, np.asarray(gxv) / scale,
+            atol=2e-2,
+        )
+        flat_v = jax.tree_util.tree_leaves_with_path(gv)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+        for path, leaf in flat_v:
+            other = flat_p[path]
+            s = max(float(jnp.abs(leaf).max()), 1e-6)
+            # weight grads accumulate bf16 gather noise through the
+            # 7-conv chain + squared loss; op-level dw error is ~0.3%
+            # (see test_subm_grads) — 0.1 normalized still catches any
+            # structural rulebook/plan_t error (those are O(1) wrong)
+            np.testing.assert_allclose(
+                np.asarray(other) / s, np.asarray(leaf) / s, atol=1e-1,
+                err_msg=str(path),
+            )

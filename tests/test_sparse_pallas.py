@@ -269,3 +269,55 @@ def test_build_plan_direct_matches(case):
         feats, plan, plan_t, w, out_valid, kernel_size=ks, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_transposed_conv_rules_matches_scatter_transpose():
+    """sc.transposed_conv_rules (meta decode) == transpose_rules (scatter)
+    on a strided geometry, and a submanifold rulebook is its own
+    transpose — the facts make_plans relies on to skip the K*V-row
+    scatter in training-side plan builds."""
+    rng = np.random.RandomState(11)
+    shape = (9, 20, 22)
+    D, H, W = shape
+    cap = 256
+    keys = np.unique(rng.randint(0, D * H * W, size=400))[:200]
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:len(keys), 0] = keys % D
+    coords[:len(keys), 1] = (keys // D) // W
+    coords[:len(keys), 2] = (keys // D) % W
+    # CSR order
+    lin = (coords[:, 1] * W + coords[:, 2]) * D + coords[:, 0]
+    valid = np.arange(cap) < len(keys)
+    lin = np.where(valid, lin, 2**31 - 1)
+    o = np.argsort(lin)
+    coords, valid = jnp.asarray(coords[o]), jnp.asarray(valid[o])
+    table = sc.build_table_csr(coords, valid, shape)
+
+    # subm: rules are their own transpose
+    rules = sc.build_subm_rules(table, shape, 3, True)
+    rt = scp.transpose_rules(rules, cap, 3)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(rules))
+
+    # strided: decode == scatter transpose
+    for pad in ((1, 1, 1), (0, 1, 1)):
+        out_cap = 256
+        oc, ovd, oshape, _, ometa = sc.build_downsample(
+            coords, valid, shape, 3, 2, pad, out_cap)
+        rules_s = sc.build_conv_rules(
+            table, shape, oc, ovd, 3, 2, pad, use_positions=True)
+        rt_ref = scp.transpose_rules(rules_s, cap, 3)
+        rt_dec = sc.transposed_conv_rules(
+            ometa, oshape, coords, valid, out_cap, 3, 2, pad)
+        np.testing.assert_array_equal(
+            np.asarray(rt_dec), np.asarray(rt_ref), err_msg=str(pad))
+
+    # conv_out geometry k(3,1,1) s(2,1,1) p0
+    oc, ovd, oshape, _, ometa = sc.build_downsample(
+        coords, valid, shape, (3, 1, 1), (2, 1, 1), 0, 256)
+    rules_o = sc.build_conv_rules(
+        table, shape, oc, ovd, (3, 1, 1), (2, 1, 1), 0,
+        use_positions=True)
+    rt_ref = scp.transpose_rules(rules_o, cap, (3, 1, 1))
+    rt_dec = sc.transposed_conv_rules(
+        ometa, oshape, coords, valid, 256, (3, 1, 1), (2, 1, 1), 0)
+    np.testing.assert_array_equal(np.asarray(rt_dec), np.asarray(rt_ref))
