@@ -70,6 +70,14 @@ def main():
         dec = fd.get_bboxes(cfg.decoder, out, 200)
         return dec, dec["scores"].sum() * 0.0
 
+    # one AOT compilation serves the timing loop AND the cost analysis
+    # (a second lower().compile() would re-hit the compile cache)
+    try:
+        _compiled = infer.lower(
+            variables, points, mask, jnp.float32(0)).compile()
+    except Exception:
+        _compiled = None
+
     # warmup / compile
     res, eps = infer(variables, points, mask, jnp.float32(0))
     _ = float(eps)
@@ -152,8 +160,9 @@ def main():
     try:
         # HBM bytes/scan from XLA's cost model (arithmetic-intensity
         # observability — VERDICT r2 item 1d)
-        ca = infer.lower(variables, points, mask, eps).compile()
-        cost = ca.cost_analysis()
+        cost = _compiled.cost_analysis() if _compiled else None
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
         if cost:
             extra["bytes_accessed_per_scan"] = int(
                 cost.get("bytes accessed", 0))
