@@ -326,7 +326,13 @@ class SparseEncoder(nn.Module):
     # 'diagnostics' sow (ADVICE r2).
     plan_window: int = 512
     plan_window_down: int = 896
-    plan_overflow: int = 16384
+    # overflow-list capacity: the exact correction costs K*M*C*cout
+    # FLOPs whether or not rules actually spilled, so this is sized to
+    # ~40x the worst spill measured at the production windows (0 subm /
+    # 0 down on radial nuScenes-scale scans; 96 at window 384) rather
+    # than "as large as possible". Truncation is surfaced via the
+    # max_plan_overflow / plan_overflow_truncated diagnostics.
+    plan_overflow: int = 4096
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):

@@ -407,21 +407,28 @@ def _run_kernel(
 
 
 def _apply_overflow(out, features, weights, plan, in_capacity):
-    """Exact correction for rules that missed their tile window."""
+    """Exact correction for rules that missed their tile window.
+
+    Per-tap masked dots at the kernel's bf16 MXU precision (f32
+    accumulate). Cost is K * M * C * cout FLOPs regardless of the true
+    spill count, so the overflow CAPACITY should be sized to measured
+    production spills (SparseEncoder.plan_overflow), not padded "for
+    safety" — truncation is surfaced via plan.n_overflow diagnostics.
+    """
     K, C, cout = weights.shape
     xp = jnp.concatenate(
         [features[:in_capacity],
          jnp.zeros((1, C), features.dtype)], axis=0
     )
-    xg = xp[jnp.minimum(plan.ov_pos, in_capacity)]  # (M, C)
+    xg = xp[jnp.minimum(plan.ov_pos, in_capacity)].astype(
+        jnp.bfloat16)  # (M, C)
+    wb = weights.astype(jnp.bfloat16)
     contrib = jnp.zeros((xg.shape[0], cout), jnp.float32)
     for k in range(K):
         m = (plan.ov_tap == k)[:, None]
         contrib = contrib + jnp.where(
             m,
-            jnp.dot(
-                xg.astype(jnp.float32), weights[k].astype(jnp.float32)
-            ),
+            jnp.dot(xg, wb[k], preferred_element_type=jnp.float32),
             0.0,
         )
     return out.at[plan.ov_out].add(
