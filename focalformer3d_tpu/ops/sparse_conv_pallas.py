@@ -470,16 +470,23 @@ def _conv_core_bwd(interpret, in_capacity, res, g):
     dx = _apply_overflow(dx, gb, w_t, plan_t, v_out)
     dx = dx[:in_capacity]
     # dw = gathered^T @ g; gather-mode output is band-major with each
-    # tap's block p-expanded, so reduce the p copies and unpermute.
+    # tap's block p-expanded. The sub-row mask left exactly ONE nonzero
+    # sub-block per (row, tap), so summing the p lane blocks BEFORE the
+    # dot is an exact selection (no rounding) and cuts the dot's FLOPs
+    # by the pack factor (8x at the C=16 level).
     gath = _run_kernel(
         x, plan, w, in_capacity, True, jnp.bfloat16, interpret
     )[:v_out]
     gf = g.astype(jnp.float32)
     K, C, cout = w.shape
     pack = _pack_factor(C)
+    if pack > 1:
+        gath = gath.reshape(v_out, K, pack, C).sum(axis=2).reshape(
+            v_out, K * C
+        )
     dwp = jnp.dot(
         gath.astype(jnp.float32).T, gf, preferred_element_type=jnp.float32
-    ).reshape(K, pack, C, cout).sum(axis=1)  # band-major taps
+    ).reshape(K, C, cout)  # band-major taps
     inv = np.argsort(np.asarray(plan.perm))
     dw = dwp[jnp.asarray(inv)]
     # gather-mode drops overflow rules; add their dw contributions.
