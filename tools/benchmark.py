@@ -149,6 +149,70 @@ def bench_train(args, cfg, batch):
                         max(3, args.samples))
         print(f"freeze saves {100 * (1 - t / t_nf):.1f}% step time")
 
+    # loss-component time share: forward | +loss (assign/targets/costs)
+    # | backward+update = step - (forward+loss)
+    import time as _time
+
+    from focalformer3d_tpu.models.detector import (
+        FocalFormer3D, preprocess_points,
+    )
+    from focalformer3d_tpu.training.losses import detection_loss
+    from focalformer3d_tpu.training.train_step import (
+        _img_data_from_batch, grid_mask,
+    )
+
+    model = FocalFormer3D(cfg)
+    tx2 = optim.make_optimizer()
+    _, state = create_train_state(cfg, tx2, jax.random.PRNGKey(0), jb)
+    rng = jax.random.PRNGKey(1)
+
+    def fwd(params, batch_stats, batch, rng):
+        vox = None
+        if cfg.input_pts:
+            vox = preprocess_points(
+                cfg, batch["points"], batch["points_mask"], train=True)
+        kg, kd, km = jax.random.split(rng, 3)
+        img_data = _img_data_from_batch(batch) if cfg.input_img else None
+        if img_data is not None and cfg.use_grid_mask:
+            img_data = dict(img_data)
+            img_data["imgs"] = grid_mask(km, img_data["imgs"])
+        out, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            vox, img_data, True,
+            batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
+            rngs={"gt": kg, "dropout": kd}, mutable=["batch_stats"],
+        )
+        return out
+
+    def fwd_loss(params, batch_stats, batch, rng):
+        out = fwd(params, batch_stats, batch, rng)
+        loss, _ = detection_loss(
+            cfg.decoder, lcfg, out,
+            batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"],
+        )
+        return loss
+
+    def ptime(f, *a, iters=None):
+        iters = iters or max(3, args.samples)
+        r = f(*a)
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0])
+        r = f(*a)
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0])
+        t0 = _time.perf_counter()
+        for _i in range(iters):
+            r = f(*a)
+        _ = float(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[0])
+        return (_time.perf_counter() - t0) / iters
+
+    jf = jax.jit(lambda p, bs, b, r: jax.tree.map(
+        lambda x: x.sum(), fwd(p, bs, b, r)))
+    t_f = ptime(jf, state.params, state.batch_stats, jb, rng)
+    jl = jax.jit(fwd_loss)
+    t_fl = ptime(jl, state.params, state.batch_stats, jb, rng)
+    print(f"forward {t_f*1e3:.1f} ms | loss(assign+targets+costs) "
+          f"{(t_fl - t_f)*1e3:.1f} ms | backward+update "
+          f"{(t - t_fl)*1e3:.1f} ms")
+
 
 if __name__ == "__main__":
     main()
