@@ -69,6 +69,7 @@ def main():
         out_capacity=cfg.out_capacity,
         engine="pallas" if jax.default_backend() == "tpu" else "voxel",
         assume_csr=True,
+        dense_from=cfg.sparse_dense_from,
     )
     feats = vox["features"]
     evars = jax.jit(enc.init)(key, feats, vox["coords"], vox["voxel_mask"])
