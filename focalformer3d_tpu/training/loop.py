@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from . import checkpoint as ckpt
+from ..data.prefetch import prefetch
 
 
 class Fading:
@@ -76,7 +77,7 @@ def run_training(
         n_iter = 0
         running = {}
         t_it = time.time()
-        for batch in batch_iter_fn(epoch):
+        for batch in prefetch(batch_iter_fn(epoch)):
             if shard_fn is not None:
                 batch = shard_fn(batch)
             state, metrics = step_fn(state, batch, rng)

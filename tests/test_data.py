@@ -381,3 +381,43 @@ class TestNativeLoader:
         assert out.shape[0] == 5
         assert (out[:, 0] == 20.0).all()
         assert (out[:, 4] == 0.25).all()
+
+
+class TestPrefetcher:
+    def test_order_and_completion(self):
+        from focalformer3d_tpu.data.prefetch import prefetch
+
+        out = list(prefetch(iter(range(100)), depth=3))
+        assert out == list(range(100))
+
+    def test_exception_propagates(self):
+        from focalformer3d_tpu.data.prefetch import prefetch
+
+        def gen():
+            yield 1
+            yield 2
+            raise ValueError("producer failed")
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 1
+        assert next(it) == 2
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="producer failed"):
+            next(it)
+
+    def test_overlap(self):
+        """Consumer work overlaps producer work (wall < serial sum)."""
+        import time
+
+        from focalformer3d_tpu.data.prefetch import prefetch
+
+        def slow_gen():
+            for i in range(6):
+                time.sleep(0.05)
+                yield i
+
+        t0 = time.perf_counter()
+        for _ in prefetch(slow_gen(), depth=2):
+            time.sleep(0.05)  # consumer-side "step"
+        wall = time.perf_counter() - t0
+        assert wall < 0.5  # serial would be ~0.6s
