@@ -133,8 +133,13 @@ def main():
     predictions = {}
     gt = {}
     t0 = time.time()
-    for i in range(n):
-        s = ds.get_sample(i, rng)
+    from focalformer3d_tpu.data.prefetch import prefetch
+
+    # sample loading is host-side IO + pipeline numpy work; keep it off
+    # the eval step's critical path (single worker thread -> rng draw
+    # order is unchanged)
+    for i, s in enumerate(prefetch(
+            (ds.get_sample(j, rng) for j in range(n)), depth=4)):
         token = s["token"]
         if args.tta_ensemble:
             # offline ensemble: merge cached candidates from several
