@@ -214,7 +214,14 @@ class _DenseConvBN(nn.Module):
             g, b = bn(None, None, return_affine=True)
             y = _dense_conv(x, w, ks, self.stride, self.padding, g, b)
         else:
-            y = _dense_conv(x, w, ks, self.stride, self.padding)
+            # f32 under training: a bf16 conv with preferred f32 output
+            # has no valid transpose (the cotangent arrives f32 against
+            # bf16 operands and lax.conv rejects the mix); XLA
+            # accumulates f32 on the MXU either way, so this only
+            # widens the operand reads on the training path
+            y = _dense_conv(
+                x.astype(jnp.float32), w, ks, self.stride, self.padding
+            )
             y = bn(y, mask, train)
         y = jnp.where(mask[..., None], y, 0.0)
         return nn.relu(y) if self.act else y

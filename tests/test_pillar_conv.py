@@ -364,3 +364,62 @@ class TestPallasEncoderGrads:
                 np.asarray(other) / s, np.asarray(leaf) / s, atol=1e-1,
                 err_msg=str(path),
             )
+
+    def test_pallas_dense_tail_train_grads(self):
+        """Regression: engine='pallas' with a dense tail casts activations
+        to bf16, whose conv had no valid transpose under train=True
+        (cotangent arrived f32 against bf16 operands). Grads must lower,
+        be finite, and match the voxel engine."""
+        rng = np.random.RandomState(13)
+        shape = (9, 24, 24)
+        kw = dict(
+            sparse_shape=shape, output_channels=16,
+            encoder_channels=((8, 8, 16), (16, 16)),
+            down_paddings=((1, 1, 1),),
+            capacities=(128, 512), out_capacity=512,
+            plan_window=128, plan_overflow=4096,
+            dense_from=1,
+        )
+        enc_v = SparseEncoder(engine="voxel", **kw)
+        enc_p = SparseEncoder(engine="pallas", **kw)
+        Dz, H, W = shape
+        v_cap, n_active = 128, 90
+        keys = rng.choice(Dz * H * W, n_active, replace=False)
+        coords = np.zeros((v_cap, 3), np.int32)
+        coords[:n_active, 0] = keys // (H * W)
+        coords[:n_active, 1] = (keys % (H * W)) // W
+        coords[:n_active, 2] = keys % W
+        valid = np.zeros(v_cap, bool)
+        valid[:n_active] = True
+        feats = (rng.randn(v_cap, 5) * valid[:, None]).astype(np.float32)
+        args = (
+            jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+            jnp.asarray(valid)[None],
+        )
+        variables = enc_v.init(jax.random.PRNGKey(0), *args, False)
+
+        def loss(enc):
+            def f(params):
+                out, _ = enc.apply(
+                    {**variables, "params": params}, *args, True,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return f
+
+        gv = jax.grad(loss(enc_v))(variables["params"])
+        gp = jax.grad(loss(enc_p))(variables["params"])
+        flat_v = jax.tree_util.tree_leaves_with_path(gv)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+        for path, leaf in flat_v:
+            other = flat_p[path]
+            assert bool(jnp.all(jnp.isfinite(other))), path
+            # the engines run at different precisions (pallas bf16 vs
+            # voxel f32), so elementwise grads drift ~10% through the
+            # deep chain + squared loss; direction must agree tightly
+            a = np.asarray(leaf).ravel()
+            b = np.asarray(other).ravel()
+            denom = np.linalg.norm(a) * np.linalg.norm(b)
+            if denom > 1e-8:
+                cos = float(np.dot(a, b) / denom)
+                assert cos > 0.98, (str(path), cos)
