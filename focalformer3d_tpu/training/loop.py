@@ -55,6 +55,7 @@ def run_training(
     shard_fn: Optional[Callable] = None,
     json_log_path: Optional[str] = None,
     save_checkpoints: bool = True,
+    tensorboard_dir: Optional[str] = None,
 ):
     """Generic epoch loop. `batch_iter_fn(epoch)` yields host batches."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -65,11 +66,27 @@ def run_training(
 
         os.makedirs(os.path.dirname(json_log_path) or ".", exist_ok=True)
         jlog = open(json_log_path, "a")
+    tb = None
+    if tensorboard_dir:
+        # reference parity: TensorboardLoggerHook
+        # (FocalFormer3D_L.py:356-359); optional — torch's pure-python
+        # SummaryWriter, no GPU dependency
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(tensorboard_dir)
+        except Exception as e:  # pragma: no cover - env without tb
+            print(f"tensorboard unavailable: {e}")
 
     def jwrite(rec):
         if jlog is not None:
             jlog.write(json.dumps(rec) + "\n")
             jlog.flush()
+        if tb is not None and rec.get("mode") == "train":
+            gstep = rec["epoch"] * 1000000 + rec["iter"]
+            for k, v in rec.items():
+                if isinstance(v, float):
+                    tb.add_scalar(f"train/{k}", v, gstep)
     for epoch in range(start_epoch, epochs):
         for h in hooks:
             h.before_train_epoch(epoch, getattr(h, "pipeline", None))
@@ -107,4 +124,6 @@ def run_training(
             log_fn(f"saved {path}")
     if jlog is not None:
         jlog.close()
+    if tb is not None:
+        tb.close()
     return state

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--keep-last", type=int, default=None)
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--no-tensorboard", action="store_true",
+                   help="disable the TensorBoard writer (reference "
+                        "TensorboardLoggerHook parity; on by default "
+                        "when torch's SummaryWriter imports)")
     return p.parse_args()
 
 
@@ -266,6 +270,11 @@ def main():
         ),
         log_fn=print if main_proc else (lambda *_: None),
         save_checkpoints=main_proc,
+        tensorboard_dir=(
+            str(Path(work_dir) / "tf_logs")
+            if work_dir and main_proc and not args.no_tensorboard
+            else None
+        ),
     )
     print("training complete")
 
