@@ -21,6 +21,10 @@ def main(engine: str | None = None):
     import dataclasses
     import os
 
+    from focalformer3d_tpu.utils.platform import setup as _setup
+
+    _setup()  # persistent compile cache: cold full-model compiles are ~15 min
+
     import jax
     import jax.numpy as jnp
 
@@ -222,12 +226,18 @@ def main(engine: str | None = None):
     except Exception as e:  # diagnostics must never break the gate metric
         print(f"diagnostics unavailable: {e}", file=sys.stderr)
 
+    # which sparse engine actually produced the gate number (VERDICT r3
+    # item 5: the silent voxel-engine fallback masked a broken pallas path)
+    eng = engine
+    if eng is None:
+        eng = ("pallas" if jax.default_backend() == "tpu" else "voxel")
     print(json.dumps({
         "metric": "nuScenes-L single-scan inference throughput (1 chip)",
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / 16.0, 3),
         "compute_dtype": bench_dtype,
+        "engine": eng,
         **extra,
     }))
 
@@ -236,6 +246,8 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # driver gate must always get its JSON line
-        print(f"primary bench path failed ({e!r}); retrying with the "
-              f"XLA voxel engine", file=sys.stderr)
+        print(f"PRIMARY BENCH PATH FAILED ({e!r}); falling back to the "
+              f"XLA voxel engine — the JSON line below is NOT the "
+              f"production pallas path (see the 'engine' key)",
+              file=sys.stderr)
         main(engine="voxel")

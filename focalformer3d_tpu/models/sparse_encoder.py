@@ -45,18 +45,37 @@ def _ds3(r):
     return r[0], r[1], r[4]
 
 
-def _batched_pallas_conv(feats, plans, plans_t, w, valid, kernel_size=3,
+def _batched_pallas_conv(feats, plans, w, valid, kernel_size=3,
                          bias=None):
-    """Per-sample pallas conv over a batched voxel table (B static)."""
-    outs = []
-    for b in range(feats.shape[0]):
-        plan_b = jax.tree.map(lambda a: a[b], plans)
-        ptb = jax.tree.map(lambda a: a[b], plans_t)
-        outs.append(scp.apply_conv_pallas(
-            feats[b], plan_b, ptb, w, valid[b], bias=bias,
-            kernel_size=kernel_size,
-        ))
-    return jnp.stack(outs)
+    """Batched pallas conv: one kernel launch with a (B, n_tiles) grid.
+
+    ``plans`` is (plan, plan_t, rules-or-None). When the absolute rulebook
+    is available, exactness is STRUCTURAL: if any plan's true window-spill
+    count exceeds its overflow-list capacity (so rules would be silently
+    dropped — the r3 driver bench measured 53k spills against a 4k list),
+    a lax.cond reroutes this conv through the exact XLA gather-GEMM path.
+    The fallback branch costs nothing when not taken; the reference's
+    spconv is unconditionally exact (SURVEY §2.3), so must we be.
+    """
+    plan, plan_t, rules = plans
+    out = scp.apply_conv_pallas_batched(
+        feats, plan, plan_t, w, valid, bias=bias,
+        kernel_size=kernel_size,
+    )
+    if rules is None:
+        return out
+    m_cap = plan.ov_pos.shape[-1]
+    truncated = jnp.any(plan.n_overflow > m_cap)
+
+    def exact_xla(feats_, w_):
+        y = jax.vmap(
+            lambda f, r, v: sc.apply_conv(f, r, w_, v, bias)
+        )(feats_, rules, valid)
+        return y.astype(out.dtype)
+
+    return jax.lax.cond(
+        truncated, exact_xla, lambda f_, w_: out, feats, w
+    )
 
 
 def _conv_param(module, name, k, cin, cout):
@@ -101,8 +120,7 @@ class _SubMConvBN(nn.Module):
                 )
             else:
                 y = _batched_pallas_conv(
-                    feats, plans[0], plans[1], w * g[None, None, :],
-                    valid, bias=b,
+                    feats, plans, w * g[None, None, :], valid, bias=b,
                 )
         else:
             if plans is None:
@@ -110,8 +128,7 @@ class _SubMConvBN(nn.Module):
                     feats, rules, w, valid
                 )
             else:
-                y = _batched_pallas_conv(feats, plans[0], plans[1], w,
-                                         valid)
+                y = _batched_pallas_conv(feats, plans, w, valid)
             y = bn(y, valid, train)
         y = jnp.where(valid[..., None], y, 0.0)
         return nn.relu(y) if self.act else y
@@ -152,8 +169,8 @@ class _DownConvBN(nn.Module):
                 )
             else:
                 y = _batched_pallas_conv(
-                    feats, plans[0], plans[1], w * g[None, None, :],
-                    out_valid, kernel_size=ks, bias=b,
+                    feats, plans, w * g[None, None, :], out_valid,
+                    kernel_size=ks, bias=b,
                 )
         else:
             if plans is None:
@@ -162,7 +179,7 @@ class _DownConvBN(nn.Module):
                 )
             else:
                 y = _batched_pallas_conv(
-                    feats, plans[0], plans[1], w, out_valid, kernel_size=ks
+                    feats, plans, w, out_valid, kernel_size=ks
                 )
             y = bn(y, out_valid, train)
         y = jnp.where(out_valid[..., None], y, 0.0)
@@ -322,23 +339,25 @@ class SparseEncoder(nn.Module):
     # sets this so the level-0 reorder pass and rows scatter are skipped
     assume_csr: bool = False
     plan_tile: int = 256
-    # Feature-window sizing, measured on radial beam-model scans at
-    # nuScenes scale (/tmp-chain sweep, r3): submanifold plans are exact
-    # from ~448 (96 spills at 384, 0 at 512); stride-2 down plans gather
-    # from the FINER level, whose per-band position span is ~2x, and need
-    # 768 (16.6k spills at 384, 0 at 768). Conv cost is only mildly
-    # window-sensitive (the kernel is VPU/overhead-bound at small C), so
-    # generous windows + the exact overflow spill list is the right
-    # operating point; true spill counts still surface via the
-    # 'diagnostics' sow (ADVICE r2).
+    # Feature-window sizing, from the r4 spill census at driver-bench
+    # density (tools/micro_spills.py, radial 200k-pt scan, production
+    # capacities; occupancy L0 153.7k / L1 243.1k / L2 186.8k):
+    #   subm spans  p99.9 <= 410, max 2714 -> window 512 leaves <= 1.4k
+    #     spills/plan (handled exactly by the overflow list);
+    #   down spans  p99.9 <= 1654, max 1662 -> window 896 spilled 53k
+    #     rules on the L2->L3 transition (the r3 silent-truncation bug);
+    #     1792 covers every measured span with no spills.
+    # Exactness no longer depends on this sizing: when a plan's true
+    # spill count exceeds the overflow list, the conv reroutes through
+    # the exact XLA gather path (see _batched_pallas_conv); windows are
+    # now purely a perf knob. Spills still surface via the
+    # 'diagnostics' sow (max_plan_overflow / plan_overflow_truncated).
     plan_window: int = 512
-    plan_window_down: int = 896
+    plan_window_down: int = 1792
     # overflow-list capacity: the exact correction costs K*M*C*cout
-    # FLOPs whether or not rules actually spilled, so this is sized to
-    # ~40x the worst spill measured at the production windows (0 subm /
-    # 0 down on radial nuScenes-scale scans; 96 at window 384) rather
-    # than "as large as possible". Truncation is surfaced via the
-    # max_plan_overflow / plan_overflow_truncated diagnostics.
+    # FLOPs whether or not rules actually spilled; sized to ~3x the
+    # worst per-plan spill measured at the production windows (1366,
+    # L2 subm). Truncation beyond it triggers the exact-XLA reroute.
     plan_overflow: int = 4096
 
     @nn.compact
@@ -452,7 +471,7 @@ class SparseEncoder(nn.Module):
                 if subm:
                     # submanifold rulebooks are their own transpose
                     # (sc.transposed_conv_rules docstring)
-                    pairs.append((plan, plan))
+                    pairs.append((plan, plan, None))
                     continue
                 rules = pb.decode_rules(
                     None, colz_out[b], in_cap, meta[b], ks, stride, pad,
@@ -462,7 +481,7 @@ class SparseEncoder(nn.Module):
                 plan_t = scp.build_tile_plan(
                     rules_t, out_cap, ks, tile, win_t, ov
                 )
-                pairs.append((plan, plan_t))
+                pairs.append((plan, plan_t, rules))
             pair = jax.tree.map(lambda *x: jnp.stack(x), *pairs)
             overflow_counts.append(pair[0].n_overflow)
             return pair
@@ -494,7 +513,7 @@ class SparseEncoder(nn.Module):
                     rules, in_cap, ks, tile, win, ov
                 )
                 if subm:
-                    return plan, plan
+                    return plan, plan, rules
                 if om is None:
                     rules_t = scp.transpose_rules(rules, in_cap, ks)
                 else:
@@ -505,7 +524,7 @@ class SparseEncoder(nn.Module):
                 plan_t = scp.build_tile_plan(
                     rules_t, out_cap, ks, tile, win_t, ov
                 )
-                return plan, plan_t
+                return plan, plan_t, rules
 
             if subm or out_meta is None:
                 pair = jax.vmap(one)(table, out_coords, out_valid)

@@ -321,3 +321,78 @@ def test_transposed_conv_rules_matches_scatter_transpose():
     rt_dec = sc.transposed_conv_rules(
         ometa, oshape, coords, valid, 256, (3, 1, 1), (2, 1, 1), 0)
     np.testing.assert_array_equal(np.asarray(rt_dec), np.asarray(rt_ref))
+
+
+def test_batched_apply_parity():
+    """apply_conv_pallas_batched over a (B, n_tiles) grid == per-sample
+    XLA gather-GEMM, including samples with different active sets."""
+    rng = np.random.RandomState(5)
+    B = 3
+    feats_b, plans, plans_t, valids, rules_b = [], [], [], [], []
+    w = _bf16_vals(rng, (27, 8, 12), 1 / 16)
+    for b in range(B):
+        table, coords, valid, feats, shape = _csr_setup(
+            rng, n=40 + 10 * b)
+        V = coords.shape[0]
+        rules = sc.build_subm_rules(table, shape, 3, use_positions=True)
+        plan = scp.build_tile_plan(rules, V, 3, tile=16, window=64,
+                                   overflow_capacity=4096)
+        feats_b.append(feats)
+        plans.append(plan)
+        plans_t.append(plan)
+        valids.append(valid)
+        rules_b.append(rules)
+    fb = jnp.stack(feats_b)
+    vb = jnp.stack(valids)
+    plan_b = jax.tree.map(lambda *x: jnp.stack(x), *plans)
+    out = scp.apply_conv_pallas_batched(
+        fb, plan_b, plan_b, w, vb, interpret=True
+    )
+    for b in range(B):
+        ref = sc.apply_conv(feats_b[b], rules_b[b], w, valids[b])
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=1e-5, err_msg=str(b)
+        )
+
+
+def test_truncation_reroutes_to_exact_xla():
+    """When true window spills exceed the overflow-list capacity, the
+    encoder's conv wrapper must reroute through the exact XLA path
+    instead of silently dropping rules (the r3 driver-bench bug:
+    53334 spills vs capacity 4096, outputs silently wrong)."""
+    from focalformer3d_tpu.models.sparse_encoder import _batched_pallas_conv
+
+    rng = np.random.RandomState(7)
+    table, coords, valid, feats, shape = _csr_setup(
+        rng, shape=(8, 24, 24), n=400, capacity=512)
+    V = coords.shape[0]
+    rules = np.array(
+        sc.build_subm_rules(table, shape, 3, use_positions=True))
+    # doctor the rulebook with far-away positions (a rulebook is just a
+    # (tap, site) -> position map; the conv doesn't care about geometry):
+    # guarantees window spills well past the tiny overflow capacity.
+    # Redirect into OTHER live rows (padding rows are zero and would
+    # contribute nothing, masking the truncation).
+    live = np.argwhere(rules[13] < 400)[:, 0]
+    rules[13, live[:30]] = (rules[13, live[:30]] + 211) % 400
+    rules = jnp.asarray(rules)
+    w = _bf16_vals(rng, (27, feats.shape[1], 12), 1 / 16)
+    # pathological plan: tiny window + tiny overflow list -> truncation
+    plan = scp.build_tile_plan(rules, V, 3, tile=16, window=64,
+                               overflow_capacity=8)
+    assert int(plan.n_overflow) > plan.ov_pos.shape[-1]
+    ref = sc.apply_conv(feats, rules, w, valid)
+    truncated = scp.apply_conv_pallas(
+        feats, plan, plan, w, valid, interpret=True
+    )
+    # sanity: the raw pallas path IS wrong here (rules were dropped)
+    assert not np.allclose(np.asarray(truncated), np.asarray(ref))
+    plans = (
+        jax.tree.map(lambda a: a[None], plan),
+        jax.tree.map(lambda a: a[None], plan),
+        rules[None],
+    )
+    out = _batched_pallas_conv(feats[None], plans, w, valid[None])
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref), atol=1e-5
+    )
