@@ -37,10 +37,20 @@ from focalformer3d_tpu.ops import plan_builder as pb
 from focalformer3d_tpu.ops import sparse_conv as sc
 from focalformer3d_tpu.ops import sparse_conv_pallas as scp
 
-WINDOW = 512
-WINDOW_DOWN = 896
-TILE = 256
-OV = 4096
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--window", type=int, default=512)
+_ap.add_argument("--window-down", type=int, default=1792)
+_ap.add_argument("--tile", type=int, default=256)
+_ap.add_argument("--tile-down", type=int, default=256)
+_ap.add_argument("--ov", type=int, default=4096)
+_args = _ap.parse_args()
+WINDOW = _args.window
+WINDOW_DOWN = _args.window_down
+TILE = _args.tile
+TILE_DOWN = _args.tile_down
+OV = _args.ov
 
 
 def bench_piece(name, fn, *args, iters=10):
@@ -162,7 +172,7 @@ def main():
         def down_plan(t, oc, ov):
             rules = sc.build_conv_rules(
                 t, shape, oc, ov, 3, 2, pad, use_positions=True)
-            return scp.build_tile_plan(rules, cap, 3, TILE, WINDOW_DOWN, OV)
+            return scp.build_tile_plan(rules, cap, 3, TILE_DOWN, WINDOW_DOWN, OV)
 
         (dplan,), dt = bench_piece(
             f"L{level} down rules+plan",
@@ -195,7 +205,7 @@ def main():
         rules = sc.build_conv_rules(
             t, shape, oc, ov, 3, 2, pad, use_positions=True)
         rt = scp.transpose_rules(rules, cap, 3)
-        return scp.build_tile_plan(rt, out_cap, 3, TILE, WINDOW_DOWN, OV)
+        return scp.build_tile_plan(rt, out_cap, 3, TILE_DOWN, WINDOW_DOWN, OV)
 
     bench_piece("L2 down TRANSPOSED plan (train)", lambda t, oc, ov:
                 (tplan(t, oc, ov),), table, out_coords, out_valid)
