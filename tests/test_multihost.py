@@ -2,6 +2,8 @@
 cross-process collective and batch assembly (VERDICT item 7)."""
 import os
 import subprocess
+
+import pytest
 import sys
 import textwrap
 from pathlib import Path
@@ -58,3 +60,26 @@ def test_two_process_cpu_cluster(tmp_path):
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-2000:]
     assert "MULTIHOST_OK" in outs[0][0]
+
+
+@pytest.mark.slow
+def test_flagship_dp_train_step_compiles_on_8dev_mesh():
+    """VERDICT r3 item 7: the tiny-topology dryrun executes a full train
+    step but at test shapes; this compiles the REAL FocalFormer3D_L DP
+    train step (production 1440^2 grid, measured capacities, 300
+    proposals) over a virtual 8-device mesh. SPMD partitioning runs at
+    compile time, which is where flagship-shape sharding bugs live.
+    ~8 min on one CPU (XLA compile time), hence slow-marked; also
+    runnable standalone via tools/dryrun_flagship.py."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8"),
+    }
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "dryrun_flagship.py"), "8"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "compiled OK" in proc.stdout
