@@ -338,27 +338,30 @@ class SparseEncoder(nn.Module):
     # voxel sets from ops/voxelize.py arrive CSR-ordered; the detector
     # sets this so the level-0 reorder pass and rows scatter are skipped
     assume_csr: bool = False
+    # Tile/window sizing, validated by the r4 on-TPU sweep
+    # (tools/micro_enc_profile.py at tile 128 / window 256 vs 256/512):
+    # conv applies are VMEM-traffic/row bound, NOT MAC bound — apply
+    # time is FLAT in window and tile size, so windows are sized wide
+    # enough that the spill census (tools/micro_spills.py, radial
+    # 200k-pt scan) stays within the overflow lists: subm spans p99.9
+    # <= 410 @ tile 256 -> 512; down spans reach 1662 on the L2->L3
+    # transition -> 1792 (a tighter window + bigger overflow list
+    # measured net-SLOWER: the two-stage spill compaction cost grows
+    # with list capacity while the kernel gains nothing). Exactness
+    # never depends on this sizing: true spill counts beyond a list (or
+    # more spilling tiles than its compaction captures) reroute the
+    # conv through the exact XLA gather path (_batched_pallas_conv),
+    # and spills surface via the 'diagnostics' sow.
     plan_tile: int = 256
-    # Feature-window sizing, from the r4 spill census at driver-bench
-    # density (tools/micro_spills.py, radial 200k-pt scan, production
-    # capacities; occupancy L0 153.7k / L1 243.1k / L2 186.8k):
-    #   subm spans  p99.9 <= 410, max 2714 -> window 512 leaves <= 1.4k
-    #     spills/plan (handled exactly by the overflow list);
-    #   down spans  p99.9 <= 1654, max 1662 -> window 896 spilled 53k
-    #     rules on the L2->L3 transition (the r3 silent-truncation bug);
-    #     1792 covers every measured span with no spills.
-    # Exactness no longer depends on this sizing: when a plan's true
-    # spill count exceeds the overflow list, the conv reroutes through
-    # the exact XLA gather path (see _batched_pallas_conv); windows are
-    # now purely a perf knob. Spills still surface via the
-    # 'diagnostics' sow (max_plan_overflow / plan_overflow_truncated).
+    plan_tile_down: int = 256
     plan_window: int = 512
     plan_window_down: int = 1792
-    # overflow-list capacity: the exact correction costs K*M*C*cout
-    # FLOPs whether or not rules actually spilled; sized to ~3x the
-    # worst per-plan spill measured at the production windows (1366,
-    # L2 subm). Truncation beyond it triggers the exact-XLA reroute.
+    # overflow-list capacities (per conv family): the exact correction
+    # costs K*M*C*cout FLOPs and the compaction cost scales with the
+    # capacity, so both stay at ~3x the worst per-plan spill measured
+    # at the production windows (1366, L2 subm; down ~0 at 1792).
     plan_overflow: int = 4096
+    plan_overflow_down: int = 4096
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -457,8 +460,8 @@ class SparseEncoder(nn.Module):
             base_w = self.plan_window_down if strided else self.plan_window
             win = min(base_w, scp._padded_rows(in_cap))
             win_t = min(base_w, scp._padded_rows(out_cap))
-            tile = self.plan_tile
-            ov = self.plan_overflow
+            tile = self.plan_tile_down if strided else self.plan_tile
+            ov = self.plan_overflow_down if strided else self.plan_overflow
             B = meta.shape[0]
             subm = stride == 1 or stride == (1, 1, 1)
             pairs = []
@@ -488,7 +491,7 @@ class SparseEncoder(nn.Module):
 
         def make_plans(table, shp, out_coords, out_valid, in_cap, out_cap,
                        ks, stride, pad, window=None, out_meta=None,
-                       out_shape=None):
+                       out_shape=None, meta9=None):
             """Batched fused plan build (+ transposed plan for backward,
             dead-code-eliminated by XLA in inference).
 
@@ -498,16 +501,24 @@ class SparseEncoder(nn.Module):
             plan_t outright; strided plans decode the transposed
             rulebook from the OUT meta instead of scattering K*V rows.
             """
+            subm = stride == 1 or stride == (1, 1, 1)
             win = min(window or self.plan_window, scp._padded_rows(in_cap))
             win_t = min(window or self.plan_window,
                         scp._padded_rows(out_cap))
-            tile = self.plan_tile
-            ov = self.plan_overflow
-            subm = stride == 1 or stride == (1, 1, 1)
+            tile = self.plan_tile if subm else self.plan_tile_down
+            ov = self.plan_overflow if subm else self.plan_overflow_down
+            if meta9 is None:
+                # widened meta is only consumed by 3x3-BEV rule builds;
+                # callers hoist it per level so subm + down share one
+                meta9 = (
+                    jax.vmap(lambda m: sc.widen_meta9(m, shp))(table.meta)
+                    if ks == 3 else table.meta
+                )
 
-            def one(t, oc, o_v, om=None):
+            def one(t, oc, o_v, m9, om=None):
                 rules = sc.build_conv_rules(
-                    t, shp, oc, o_v, ks, stride, pad, use_positions=True
+                    t, shp, oc, o_v, ks, stride, pad, use_positions=True,
+                    meta9=m9,
                 )
                 plan = scp.build_tile_plan(
                     rules, in_cap, ks, tile, win, ov
@@ -527,10 +538,10 @@ class SparseEncoder(nn.Module):
                 return plan, plan_t, rules
 
             if subm or out_meta is None:
-                pair = jax.vmap(one)(table, out_coords, out_valid)
+                pair = jax.vmap(one)(table, out_coords, out_valid, meta9)
             else:
                 pair = jax.vmap(one)(
-                    table, out_coords, out_valid, out_meta
+                    table, out_coords, out_valid, meta9, out_meta
                 )
             overflow_counts.append(pair[0].n_overflow)
             return pair
@@ -560,8 +571,10 @@ class SparseEncoder(nn.Module):
         cap = features.shape[1]
         if pallas:
             rules = None
+            m9 = jax.vmap(lambda m: sc.widen_meta9(m, shape))(table.meta)
             plans = make_plans(
-                table, shape, coords, valid, cap, cap, 3, 1, (1, 1, 1)
+                table, shape, coords, valid, cap, cap, 3, 1, (1, 1, 1),
+                meta9=m9,
             )
         else:
             rules = jax.vmap(
@@ -613,7 +626,7 @@ class SparseEncoder(nn.Module):
                     down_plans = make_plans(
                         table, shape, out_coords, out_valid, cap, out_cap,
                         3, 2, pad, window=self.plan_window_down,
-                        out_meta=out_meta, out_shape=out_shape,
+                        out_meta=out_meta, out_shape=out_shape, meta9=m9,
                     )
                 else:
                     out_coords, out_valid, out_meta = jax.vmap(
@@ -651,9 +664,12 @@ class SparseEncoder(nn.Module):
                 )
                 if pallas:
                     rules = None
+                    m9 = jax.vmap(
+                        lambda m: sc.widen_meta9(m, shape)
+                    )(table.meta)
                     plans = make_plans(
                         table, shape, coords, valid, cap, cap, 3, 1,
-                        (1, 1, 1),
+                        (1, 1, 1), meta9=m9,
                     )
                 else:
                     rules = jax.vmap(

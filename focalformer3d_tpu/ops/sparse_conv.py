@@ -225,6 +225,25 @@ def build_table(coords: jax.Array, valid: jax.Array, shape) -> VoxelTable:
     return VoxelTable(coords, valid, meta, rows)
 
 
+def widen_meta9(meta: jax.Array, in_shape) -> jax.Array:
+    """Widened column meta for 3x3-BEV rule builds: row c+W+1 holds
+    meta[c + dy*W + dx] for the 9 (dy, dx) taps as one 144-byte row.
+    Shared by every plan build that reads the SAME input table at a level
+    (submanifold + strided down), so build it once per level."""
+    _, _, W = in_shape
+    n_col = meta.shape[0] - 1
+    nr = n_col + W + 1
+    mp = jnp.concatenate(
+        [jnp.zeros((W + 1, 4), meta.dtype), meta,
+         jnp.zeros((2 * W + 2, 4), meta.dtype)], 0
+    )
+    return jnp.concatenate(
+        [mp[dy * W + dx:dy * W + dx + nr]
+         for dy in range(3) for dx in range(3)],
+        axis=1,
+    )  # (nr, 36)
+
+
 def build_conv_rules(
     in_table: VoxelTable,
     in_shape,
@@ -234,6 +253,7 @@ def build_conv_rules(
     stride,
     padding,
     use_positions: bool = False,
+    meta9: jax.Array | None = None,
 ) -> jax.Array:
     """Rulebook (K, V_out): input row feeding each output site per tap,
     kernel_offsets (dz-major) order; V_in is the miss sentinel.
@@ -270,15 +290,8 @@ def build_conv_rules(
         # [0, n_col + W] and mp is right-padded far enough for the
         # largest slice offset (2W + 2).
         nr = n_col + W + 1
-        mp = jnp.concatenate(
-            [jnp.zeros((W + 1, 4), meta.dtype), meta,
-             jnp.zeros((2 * W + 2, 4), meta.dtype)], 0
-        )
-        meta9 = jnp.concatenate(
-            [mp[dy * W + dx:dy * W + dx + nr]
-             for dy in range(3) for dx in range(3)],
-            axis=1,
-        )  # (nr, 36): row c+W+1 -> meta[c + dy*W + dx]
+        if meta9 is None:
+            meta9 = widen_meta9(meta, in_shape)
         base_col = (
             (out_coords[:, 1] * sy - py) * W
             + out_coords[:, 2] * sx - px

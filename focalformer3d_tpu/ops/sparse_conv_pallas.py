@@ -168,6 +168,16 @@ def build_tile_plan(
     ktv = n_tiles * tile
     tcap = max(8, min(n_tiles, overflow_capacity // tile))
     tile_any = jnp.any(overflow, axis=(0, 2))  # (n_tiles,)
+    # if more spilling TILES than tcap exist, rules from the excess tiles
+    # never reach the element nonzero below — that would be a silent
+    # exactness loss the `n_overflow > capacity` check cannot see (the
+    # captured rule count can still be under capacity). Force the
+    # truncation signal so the checked XLA fallback fires instead.
+    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
+    n_overflow = jnp.where(
+        n_spill_tiles > tcap,
+        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
+    )
     (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
     tsafe = jnp.minimum(tidx, n_tiles - 1)
     ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]
@@ -433,6 +443,11 @@ def _apply_overflow_one(out, features, weights, ov_pos, ov_out, ov_tap,
     # same K*M*C*cout FLOPs as K masked dots, but 1 MXU op + 1 M-row
     # gather instead of 27 dot+where pairs (the masked-dot loop cost
     # ~3 ms/conv of pure op-dispatch at M=16k — micro_mxu_probe r4)
+    # f32 materialization kept deliberately: the correction must match
+    # the kernel's f32-accumulate precision bit-for-bit with the XLA
+    # oracle (tests/test_sparse_pallas.py::test_overflow_spill_exact);
+    # at the down-conv list size (32k, cout=128) this costs ~450 MB of
+    # HBM traffic ~= 1 ms — the price of unconditional exactness
     all_taps = jnp.dot(
         xg, jnp.transpose(wb, (1, 0, 2)).reshape(C, K * cout),
         preferred_element_type=jnp.float32,
@@ -744,12 +759,18 @@ def build_plan_direct(
     relf = jnp.where(in_win, rel, window).astype(jnp.int32)
     relf = relf.reshape(-1, n_tiles, tile)
 
-    # two-stage overflow compaction (same scheme as build_tile_plan)
+    # two-stage overflow compaction (same scheme as build_tile_plan,
+    # incl. the forced truncation signal on spilling-TILE overflow)
     overflow = (ok_all & ~in_win).reshape(-1, n_tiles, tile)
     n_overflow = jnp.sum(overflow, dtype=jnp.int32)
     ktv = n_tiles * tile
     tcap = max(8, min(n_tiles, overflow_capacity // tile))
     tile_any = jnp.any(overflow, axis=(0, 2))
+    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
+    n_overflow = jnp.where(
+        n_spill_tiles > tcap,
+        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
+    )
     (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
     tsafe = jnp.minimum(tidx, n_tiles - 1)
     ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]

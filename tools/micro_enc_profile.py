@@ -45,12 +45,14 @@ _ap.add_argument("--window-down", type=int, default=1792)
 _ap.add_argument("--tile", type=int, default=256)
 _ap.add_argument("--tile-down", type=int, default=256)
 _ap.add_argument("--ov", type=int, default=4096)
+_ap.add_argument("--ov-down", type=int, default=32768)
 _args = _ap.parse_args()
 WINDOW = _args.window
 WINDOW_DOWN = _args.window_down
 TILE = _args.tile
 TILE_DOWN = _args.tile_down
 OV = _args.ov
+OV_DOWN = _args.ov_down
 
 
 def bench_piece(name, fn, *args, iters=10):
@@ -172,7 +174,8 @@ def main():
         def down_plan(t, oc, ov):
             rules = sc.build_conv_rules(
                 t, shape, oc, ov, 3, 2, pad, use_positions=True)
-            return scp.build_tile_plan(rules, cap, 3, TILE_DOWN, WINDOW_DOWN, OV)
+            return scp.build_tile_plan(rules, cap, 3, TILE_DOWN, WINDOW_DOWN,
+                                        OV_DOWN)
 
         (dplan,), dt = bench_piece(
             f"L{level} down rules+plan",
@@ -205,7 +208,8 @@ def main():
         rules = sc.build_conv_rules(
             t, shape, oc, ov, 3, 2, pad, use_positions=True)
         rt = scp.transpose_rules(rules, cap, 3)
-        return scp.build_tile_plan(rt, out_cap, 3, TILE_DOWN, WINDOW_DOWN, OV)
+        return scp.build_tile_plan(rt, out_cap, 3, TILE_DOWN, WINDOW_DOWN,
+                                   OV_DOWN)
 
     bench_piece("L2 down TRANSPOSED plan (train)", lambda t, oc, ov:
                 (tplan(t, oc, ov),), table, out_coords, out_valid)

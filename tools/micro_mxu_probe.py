@@ -184,7 +184,7 @@ def _variant_kernel(starts_ref, x_ref, rel_ref, wbig_ref, out_ref,
                     ).astype(jnp.bfloat16)
             if mode == "oh_only":
                 # cheap reduction keeps the oh build live
-                part = jnp.sum(ohr[:, :], axis=1)[:T, None]
+                part = jnp.sum(ohr[:, :], axis=1, keepdims=True)[:T]
                 acc = part if acc is None else acc + part
                 continue
             start = pl.multiple_of(starts_ref[i * G + g], scp._ALIGN)
@@ -321,6 +321,16 @@ def probe_kernel(levels):
         t0 = timeit(base, feats, w)
         print(f"  production apply: {t0*1e3:7.2f} ms "
               f"({t0/plan.rel.shape[0]*1e6:.2f} us/tile)", flush=True)
+        # decompose the production wrapper: raw batched kernel (pack +
+        # pallas_call, no overflow correction / custom-vjp / masking)
+        pb1 = jax.tree.map(lambda a: a[None], plan)
+        raw = jax.jit(lambda f, w: scp._run_kernel(
+            scp._pad_c(f, 1)[None], pb1, scp._pad_c(w, 1),
+            f.shape[0], False, jnp.float32).sum())
+        t1 = timeit(raw, feats, w)
+        print(f"  raw batched kernel: {t1*1e3:7.2f} ms "
+              f"(wrapper overhead {max(t0 - t1, 0)*1e3:.2f} ms)",
+              flush=True)
         for mode in ("full", "pertap", "dbuf", "merged", "oh_only",
                      "dots_only"):
             def wrap(f_, w_, m=mode):

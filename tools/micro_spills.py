@@ -71,7 +71,13 @@ def main():
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--n-points", type=int, default=200000)
     ap.add_argument("--seed", type=int, default=0)
+    # the census is pure index math — identical on any backend; --platform
+    # cpu keeps it off the (single, shared) TPU tunnel while kernels bench
+    ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
+
+    from focalformer3d_tpu.utils.platform import setup
+    setup(platform=args.platform)
 
     cfg = get_config("FocalFormer3D_L")["model"]
     rng = np.random.RandomState(args.seed)
