@@ -88,13 +88,19 @@ class TilePlan:
     rel: jax.Array  # (n_tiles, T, K) int32 in [0, W]; W = miss. Band-major
     # taps on the minor (lane) axis so per-tap extracts broadcast along
     # lanes without relayout.
-    starts: jax.Array  # (n_tiles * G + 1,) int32 row starts, 64-aligned;
-    # the trailing element is the ACTIVE tile count (output sites are a
-    # CSR prefix, so fully-padded tiles are a suffix the kernel skips)
-    ov_pos: jax.Array  # (M,) int32 input positions of overflow rules
+    starts: jax.Array  # (n_tiles * (G + 1) + 1,) int32: per-(tile, band)
+    # window row starts (64-aligned), then the ACTIVE tile count (output
+    # sites are a CSR prefix, so fully-padded tiles are a suffix the
+    # kernel skips), then per-tile spill-segment starts (8-aligned) into
+    # the SORTED overflow list — the correction is applied in-kernel as
+    # a per-tile one-hot dot (an XLA scatter-add of the spill rows
+    # measured 3-4 ms/conv: TPU scatters serialize)
+    ov_pos: jax.Array  # (M,) int32 input positions, sorted by ov_out
     ov_out: jax.Array  # (M,) int32 output sites (n_tiles * T = drop)
     ov_tap: jax.Array  # (M,) int32 tap index (original order)
-    n_overflow: jax.Array  # () int32 true overflow count (may exceed M)
+    n_overflow: jax.Array  # () int32 true overflow count (may exceed M);
+    # forced past the capacity when the list, the spilling-tile capture,
+    # or a per-tile segment budget truncates, so ONE check covers all
     v_out: int  # true number of output sites (<= n_tiles * T)
     window: int
     n_groups: int
@@ -113,6 +119,41 @@ jax.tree_util.register_pytree_node(
     ),
     lambda aux, c: TilePlan(*c, *aux),
 )
+
+
+# per-tile spill-segment budget: the kernel reads a fixed-size slice of
+# the sorted spill list per tile; segments longer than this force the
+# truncation signal (-> checked XLA fallback)
+_TILE_OV = 512
+
+
+def _finalize_overflow(ov_pos, ov_out, ov_tap, n_overflow, n_tiles,
+                       tile, overflow_capacity):
+    """Sort spills by output site + per-tile 8-aligned segment starts.
+
+    Returns (ov_pos, ov_out, ov_tap, n_overflow, seg) with seg
+    (n_tiles,) int32 such that the kernel's fixed-size window
+    [seg[i], seg[i] + _TILE_OV) covers every spill of tile i (slack rows
+    from neighboring tiles are masked by the in-kernel site compare).
+    When any tile's spills don't fit the budget, n_overflow is forced
+    past the capacity so the checked fallback fires.
+    """
+    order = jnp.argsort(ov_out)
+    ov_pos = ov_pos[order]
+    ov_out = ov_out[order]
+    ov_tap = ov_tap[order]
+    m = ov_out.shape[0]
+    mt = min(_TILE_OV, m)
+    bounds = jnp.searchsorted(
+        ov_out, jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
+    ).astype(jnp.int32)
+    seg = jnp.clip(bounds[:-1] & ~7, 0, max(m - mt, 0))
+    over_budget = jnp.max(bounds[1:] - seg) > mt
+    n_overflow = jnp.where(
+        over_budget,
+        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
+    )
+    return ov_pos, ov_out, ov_tap, n_overflow, seg
 
 
 def _padded_rows(capacity: int) -> int:
@@ -196,6 +237,10 @@ def build_tile_plan(
         oob, in_capacity, pos[ov_k, ov_ti, ov_t]
     ).astype(jnp.int32)
     ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
+    ov_pos, ov_out, ov_k, n_overflow, seg = _finalize_overflow(
+        ov_pos, ov_out, ov_k, n_overflow, n_tiles, tile,
+        overflow_capacity,
+    )
 
     # 1 + index of the last tile with any live rule (not a popcount, so
     # non-prefix validity is still handled by covering through the last
@@ -207,7 +252,7 @@ def build_tile_plan(
     return TilePlan(
         rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
         starts=jnp.concatenate(
-            [jnp.stack(starts, axis=-1).reshape(-1), n_active[None]]
+            [jnp.stack(starts, axis=-1).reshape(-1), n_active[None], seg]
         ),
         ov_pos=ov_pos,
         ov_out=ov_out,
@@ -279,10 +324,13 @@ def _pack_table(features: jax.Array, capacity: int) -> jax.Array:
 
 
 def _kernel(
-    starts_ref,  # SMEM (B, n_tiles * G + 1) int32 row starts (64-aligned)
+    starts_ref,  # SMEM (B, n_tiles*(G+1)+1) int32: row starts (64-aligned)
+    # + active tile count + per-tile spill-segment starts (8-aligned)
     x_ref,  # VMEM (1, Vp/p, p*C) packed table (this sample's block)
     rel_ref,  # VMEM (1, 1, T, K) int32, band-major tap order on lanes
     wbig_ref,  # VMEM (G, tpg*CL, Cout) band-tiled weights
+    cb_ref,  # VMEM (1, M, Cout) f32 per-spill contributions (sorted)
+    ovo_ref,  # VMEM (1, M, 1) int32 spill output sites (sorted)
     out_ref,  # VMEM (1, T, N_out)
     oh_ref,  # scratch VMEM (tpg*T, WB) bf16
     mb_ref,  # scratch VMEM (T, tpg*CL) bf16
@@ -349,7 +397,27 @@ def _kernel(
                 )
                 acc = part if acc is None else acc + part
         if not gather_mode:
-            out_ref[0, :, :] = acc.astype(out_ref.dtype)
+            # window-spill correction, in-kernel: the tile's slice of the
+            # sorted spill list is folded in as one (MT, T)^T @ (MT, Cout)
+            # dot — an XLA scatter-add of the same rows measured 3-4
+            # ms/conv (TPU scatters serialize). Slack rows from adjacent
+            # tiles fail the site compare and contribute zero.
+            m = cb_ref.shape[1]
+            mt = min(_TILE_OV, m)
+            seg = pl.multiple_of(
+                starts_ref[b, pl.num_programs(1) * G + 1 + i], 8
+            )
+            ov = ovo_ref[0, pl.ds(seg, mt), :]  # (MT, 1)
+            cb = cb_ref[0, pl.ds(seg, mt), :]  # (MT, Cout) f32
+            site = i * T + jax.lax.broadcasted_iota(
+                jnp.int32, (mt, T), 1
+            )
+            oh_t = (ov == site).astype(jnp.float32)  # (MT, T)
+            corr = jax.lax.dot_general(
+                oh_t, cb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, Cout)
+            out_ref[0, :, :] = (acc + corr).astype(out_ref.dtype)
 
 
 def _run_kernel(
@@ -360,6 +428,7 @@ def _run_kernel(
     gather_mode: bool,
     out_dtype,
     interpret: bool | None = None,
+    contrib: jax.Array | None = None,  # (B, M, Cout) f32 sorted spills
 ):
     K, C, cout = weights.shape
     B, n_tiles, T, _ = plan.rel.shape
@@ -371,6 +440,14 @@ def _run_kernel(
     n_out = K * cl if gather_mode else cout
     if interpret is None:
         interpret = _interpret_default()
+    if contrib is None or gather_mode:
+        # zero correction (gather mode handles spills separately in the
+        # dW path; probe callers measure the bare kernel): dummy blocks,
+        # the site compare masks whatever the clamped slices read
+        contrib = jnp.zeros((B, 8, n_out), jnp.float32)
+        ov_out = jnp.full((B, 8, 1), n_tiles * T, jnp.int32)
+    else:
+        ov_out = plan.ov_out[..., None]
 
     # band-tiled weights: Wbig[g][j*cl + b*C + c, o] = W[perm[g*tpg+j]][c, o]
     wperm = weights[jnp.asarray(plan.perm)]  # (K, C, Cout)
@@ -391,6 +468,14 @@ def _run_kernel(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1,) + contrib.shape[1:], lambda b, i, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + ov_out.shape[1:], lambda b, i, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, T, n_out), lambda b, i, s: (b, i, 0),
@@ -416,8 +501,31 @@ def _run_kernel(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plan.starts, xp, plan.rel, wbig)
+    )(plan.starts, xp, plan.rel, wbig, contrib, ov_out)
     return out
+
+
+def _spill_contrib(features, weights, plan, in_capacity):
+    """Per-spill output-row contributions (B, M, Cout) f32, sorted by
+    output site (the plan sorts its list). Fed to the kernel's per-tile
+    one-hot correction dot; rounding matches the old scatter path
+    exactly (bf16 operands, f32 accumulate, one tap per row)."""
+    K, C, cout = weights.shape
+    wf = jnp.transpose(weights.astype(jnp.bfloat16), (1, 0, 2)).reshape(
+        C, K * cout
+    )
+
+    def one(xb, pos, tap):
+        safe = jnp.minimum(pos, in_capacity - 1)
+        xg = jnp.where(
+            (pos < in_capacity)[:, None], xb[safe], 0
+        ).astype(jnp.bfloat16)
+        at = jnp.dot(
+            xg, wf, preferred_element_type=jnp.float32
+        ).reshape(-1, K, cout)
+        return jnp.take_along_axis(at, tap[:, None, None], axis=1)[:, 0]
+
+    return jax.vmap(one)(features, plan.ov_pos, plan.ov_tap)
 
 
 def _apply_overflow_one(out, features, weights, ov_pos, ov_out, ov_tap,
@@ -478,9 +586,9 @@ def _float0_like(tree):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _conv_core(interpret, in_capacity, x, w, plan, plan_t):
     out = _run_kernel(
-        x, plan, w, in_capacity, False, jnp.float32, interpret
+        x, plan, w, in_capacity, False, jnp.float32, interpret,
+        contrib=_spill_contrib(x, w, plan, in_capacity),
     )
-    out = _apply_overflow(out, x, w, plan, in_capacity)
     return out[:, : plan.v_out]
 
 
@@ -499,9 +607,9 @@ def _conv_core_bwd(interpret, in_capacity, res, g):
     # own overflow correction makes dx exact.
     w_t = _pad_c(jnp.transpose(w[::-1], (0, 2, 1)), 1)  # (K, Cout_p, C)
     dx = _run_kernel(
-        gb, plan_t, w_t, v_out, False, jnp.float32, interpret
+        gb, plan_t, w_t, v_out, False, jnp.float32, interpret,
+        contrib=_spill_contrib(gb, w_t, plan_t, v_out),
     )
-    dx = _apply_overflow(dx, gb, w_t, plan_t, v_out)
     dx = dx[:, :in_capacity]
     # dw = gathered^T @ g; gather-mode output is band-major with each
     # tap's block p-expanded. The sub-row mask left exactly ONE nonzero
@@ -791,6 +899,10 @@ def build_plan_direct(
     ).astype(jnp.int32)
     ov_pos = jnp.where(ov_pos < 0, V, ov_pos)
     ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
+    ov_pos, ov_out, ov_k, n_overflow, seg = _finalize_overflow(
+        ov_pos, ov_out, ov_k, n_overflow, n_tiles, tile,
+        overflow_capacity,
+    )
 
     st_flat = jnp.stack(
         starts, axis=-1
@@ -805,7 +917,7 @@ def build_plan_direct(
     )
     plan = TilePlan(
         rel=jnp.transpose(relf, (1, 2, 0))[:, :, perm],
-        starts=jnp.concatenate([st_flat, n_active[None]]),
+        starts=jnp.concatenate([st_flat, n_active[None], seg]),
         ov_pos=ov_pos,
         ov_out=ov_out,
         ov_tap=ov_k,
