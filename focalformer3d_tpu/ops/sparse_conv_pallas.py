@@ -122,38 +122,82 @@ jax.tree_util.register_pytree_node(
 
 
 # per-tile spill-segment budget: the kernel reads a fixed-size slice of
-# the sorted spill list per tile; segments longer than this force the
-# truncation signal (-> checked XLA fallback)
+# the tile-grouped spill list per tile; segments longer than this force
+# the truncation signal (-> checked XLA fallback)
 _TILE_OV = 512
 
 
-def _finalize_overflow(ov_pos, ov_out, ov_tap, n_overflow, n_tiles,
-                       tile, overflow_capacity):
-    """Sort spills by output site + per-tile 8-aligned segment starts.
+def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
+                      overflow_capacity):
+    """Tile-grouped spill compaction + per-tile segment starts.
 
-    Returns (ov_pos, ov_out, ov_tap, n_overflow, seg) with seg
-    (n_tiles,) int32 such that the kernel's fixed-size window
-    [seg[i], seg[i] + _TILE_OV) covers every spill of tile i (slack rows
-    from neighboring tiles are masked by the in-kernel site compare).
-    When any tile's spills don't fit the budget, n_overflow is forced
-    past the capacity so the checked fallback fires.
+    overflow: (K, n_tiles, tile) bool spill mask; pos3: matching int32
+    positions (misses may be any value where overflow is False).
+    Enumerates spills TILE-MAJOR (captured tiles ascend, rules of one
+    tile contiguous), so the kernel's per-tile correction can slice its
+    segment directly — no sort (a jnp.argsort here measured ~5 ms/plan
+    on TPU: bitonic passes). Returns
+    (ov_pos, ov_out, ov_tap, n_overflow, seg); seg (n_tiles,) int32
+    8-aligned starts such that [seg[i], seg[i] + _TILE_OV) covers tile
+    i's spills (slack rows fail the in-kernel site compare). n_overflow
+    is forced past the capacity when the list, the spilling-tile
+    capture, or a per-tile segment budget truncates.
     """
-    order = jnp.argsort(ov_out)
-    ov_pos = ov_pos[order]
-    ov_out = ov_out[order]
-    ov_tap = ov_tap[order]
-    m = ov_out.shape[0]
-    mt = min(_TILE_OV, m)
-    bounds = jnp.searchsorted(
-        ov_out, jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
+    K = overflow.shape[0]
+    m = overflow_capacity
+    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
+    tcap = max(8, min(n_tiles, overflow_capacity // tile))
+    tile_any = jnp.any(overflow, axis=(0, 2))  # (n_tiles,)
+    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
+    n_overflow = jnp.where(
+        n_spill_tiles > tcap,
+        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
+    )
+    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
+    tsafe = jnp.minimum(tidx, n_tiles - 1)
+    live_t = tidx < n_tiles
+    ov_sub = jnp.transpose(
+        overflow[:, tsafe, :], (1, 0, 2)
+    ) & live_t[:, None, None]  # (tcap, K, tile) — tile-major
+    (ov_idx,) = jnp.nonzero(
+        ov_sub.reshape(-1), size=m, fill_value=ov_sub.size
+    )
+    oob = ov_idx >= ov_sub.size
+    kt = K * tile
+    ti_c = jnp.where(oob, 0, ov_idx // kt)
+    rest = jnp.where(oob, 0, ov_idx % kt)
+    ov_k = (rest // tile).astype(jnp.int32)
+    ov_t = rest % tile
+    ov_ti = tsafe[ti_c]
+    ov_pos = jnp.where(
+        oob, miss_sentinel, pos3[ov_k, ov_ti, ov_t]
     ).astype(jnp.int32)
-    seg = jnp.clip(bounds[:-1] & ~7, 0, max(m - mt, 0))
-    over_budget = jnp.max(bounds[1:] - seg) > mt
+    ov_pos = jnp.where(ov_pos < 0, miss_sentinel, ov_pos)
+    ov_out = jnp.where(
+        oob, n_tiles * tile, ov_ti * tile + ov_t
+    ).astype(jnp.int32)
+
+    # per-captured-tile counts -> contiguous segment starts (tiny)
+    cnt = jnp.sum(ov_sub, axis=(1, 2), dtype=jnp.int32)  # (tcap,)
+    starts_c = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+    )
+    mt = min(_TILE_OV, m)
+    seg_c = jnp.clip(starts_c & ~7, 0, max(m - mt, 0))
+    over_budget = jnp.max(
+        jnp.where(live_t, starts_c + cnt - seg_c, 0)
+    ) > mt
     n_overflow = jnp.where(
         over_budget,
         jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
     )
-    return ov_pos, ov_out, ov_tap, n_overflow, seg
+    # uncaptured tiles point at the list's tail (sentinel / other-tile
+    # rows only — the in-kernel site compare masks them). min-combine:
+    # dead capture slots alias tsafe[-1] and must not clobber a live seg
+    seg = jnp.full((n_tiles,), max(m - mt, 0), jnp.int32).at[
+        tsafe
+    ].min(jnp.where(live_t, seg_c, max(m - mt, 0)), mode="drop")
+    return ov_pos, ov_out, ov_k, n_overflow, seg
 
 
 def _padded_rows(capacity: int) -> int:
@@ -201,44 +245,9 @@ def build_tile_plan(
     in_win = valid & (rel >= 0) & (rel < window)
     relf = jnp.where(in_win, rel, window).astype(jnp.int32)
 
-    # Two-stage overflow compaction: tiles with any spill are rare, so
-    # first find the (few) spilling tiles, then run the expensive
-    # element-level nonzero only over those tiles' rules.
-    overflow = valid & ~in_win  # (K, n_tiles, tile)
-    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
-    ktv = n_tiles * tile
-    tcap = max(8, min(n_tiles, overflow_capacity // tile))
-    tile_any = jnp.any(overflow, axis=(0, 2))  # (n_tiles,)
-    # if more spilling TILES than tcap exist, rules from the excess tiles
-    # never reach the element nonzero below — that would be a silent
-    # exactness loss the `n_overflow > capacity` check cannot see (the
-    # captured rule count can still be under capacity). Force the
-    # truncation signal so the checked XLA fallback fires instead.
-    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
-    n_overflow = jnp.where(
-        n_spill_tiles > tcap,
-        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
-    )
-    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
-    tsafe = jnp.minimum(tidx, n_tiles - 1)
-    ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]
-    (ov_idx,) = jnp.nonzero(
-        ov_sub.reshape(-1), size=overflow_capacity,
-        fill_value=ov_sub.size,
-    )
-    oob = ov_idx >= ov_sub.size
-    ctt = tcap * tile
-    ov_k = jnp.where(oob, 0, ov_idx // ctt).astype(jnp.int32)
-    rest = jnp.where(oob, 0, ov_idx % ctt)
-    ov_ti = tsafe[rest // tile]
-    ov_t = rest % tile
-    ov_j = (ov_ti * tile + ov_t).astype(jnp.int32)
-    ov_pos = jnp.where(
-        oob, in_capacity, pos[ov_k, ov_ti, ov_t]
-    ).astype(jnp.int32)
-    ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
-    ov_pos, ov_out, ov_k, n_overflow, seg = _finalize_overflow(
-        ov_pos, ov_out, ov_k, n_overflow, n_tiles, tile,
+    # Two-stage, tile-major overflow compaction (see _compact_overflow).
+    ov_pos, ov_out, ov_k, n_overflow, seg = _compact_overflow(
+        valid & ~in_win, pos, n_tiles, tile, in_capacity,
         overflow_capacity,
     )
 
@@ -867,40 +876,11 @@ def build_plan_direct(
     relf = jnp.where(in_win, rel, window).astype(jnp.int32)
     relf = relf.reshape(-1, n_tiles, tile)
 
-    # two-stage overflow compaction (same scheme as build_tile_plan,
-    # incl. the forced truncation signal on spilling-TILE overflow)
-    overflow = (ok_all & ~in_win).reshape(-1, n_tiles, tile)
-    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
-    ktv = n_tiles * tile
-    tcap = max(8, min(n_tiles, overflow_capacity // tile))
-    tile_any = jnp.any(overflow, axis=(0, 2))
-    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
-    n_overflow = jnp.where(
-        n_spill_tiles > tcap,
-        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
-    )
-    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
-    tsafe = jnp.minimum(tidx, n_tiles - 1)
-    ov_sub = overflow[:, tsafe, :] & (tidx < n_tiles)[None, :, None]
-    (ov_idx,) = jnp.nonzero(
-        ov_sub.reshape(-1), size=overflow_capacity, fill_value=ov_sub.size
-    )
-    oob = ov_idx >= ov_sub.size
+    # two-stage, tile-major overflow compaction (see _compact_overflow)
     K = relf.shape[0]
-    ctt = tcap * tile
-    ov_k = jnp.where(oob, 0, ov_idx // ctt).astype(jnp.int32)
-    rest = jnp.where(oob, 0, ov_idx % ctt)
-    ov_ti = tsafe[rest // tile]
-    ov_t = rest % tile
-    ov_j = (ov_ti * tile + ov_t).astype(jnp.int32)
-    pos3 = rel_abs.reshape(K, n_tiles, tile)
-    ov_pos = jnp.where(
-        oob, V, pos3[ov_k, ov_ti, ov_t]
-    ).astype(jnp.int32)
-    ov_pos = jnp.where(ov_pos < 0, V, ov_pos)
-    ov_out = jnp.where(oob, ktv, ov_j).astype(jnp.int32)
-    ov_pos, ov_out, ov_k, n_overflow, seg = _finalize_overflow(
-        ov_pos, ov_out, ov_k, n_overflow, n_tiles, tile,
+    ov_pos, ov_out, ov_k, n_overflow, seg = _compact_overflow(
+        (ok_all & ~in_win).reshape(-1, n_tiles, tile),
+        rel_abs.reshape(K, n_tiles, tile), n_tiles, tile, V,
         overflow_capacity,
     )
 
