@@ -476,11 +476,17 @@ def build_plan_mxu(
     )
 
     def compact(mask3, cap):
+        # tile-major capture (captured tiles ascend, one tile's rules
+        # contiguous) + per-tile segment starts for the kernel's
+        # in-kernel correction slice — mirrors
+        # sparse_conv_pallas._compact_overflow
         tcap = max(8, min(n_tiles, cap // tile))
         tile_any = jnp.any(mask3, axis=(1, 2))
+        n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
         (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
         tsafe = jnp.minimum(tidx, n_tiles - 1)
-        sub = mask3[tsafe] & (tidx < n_tiles)[:, None, None]
+        live = tidx < n_tiles
+        sub = mask3[tsafe] & live[:, None, None]
         (fi,) = jnp.nonzero(
             sub.reshape(-1), size=cap, fill_value=sub.size
         )
@@ -490,13 +496,38 @@ def build_plan_mxu(
         rest = jnp.where(oob, 0, fi % tk)
         si = rest // K
         ki = rest % K
-        return oob, ti, si, ki
+        cnt = jnp.sum(sub, axis=(1, 2), dtype=jnp.int32)
+        starts_c = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+        )
+        # full-capacity per-tile budget (tile_ov=cap below): this
+        # builder's column-window misses cluster far beyond _TILE_OV on
+        # a single tile, and the mxu engine has no rules fallback for
+        # submanifold plans — keep the pre-segmentation full-scan
+        # contract (exact up to the list capacity)
+        mt = cap
+        tail = max(cap - mt, 0)
+        seg_c = jnp.clip(starts_c & ~7, 0, tail)
+        over_budget = jnp.max(
+            jnp.where(live, starts_c + cnt - seg_c, 0)
+        ) > mt
+        truncated = (n_spill_tiles > tcap) | over_budget
+        seg = jnp.full((n_tiles,), tail, jnp.int32).at[tsafe].min(
+            jnp.where(live, seg_c, tail), mode="drop"
+        )
+        return oob, ti, si, ki, seg, truncated
 
     # single union compaction over both flag kinds — a fixed half/half
     # split let either kind silently truncate at half capacity (the L2
     # chained-encoder divergence: 2.5k feature-window overflows vs a
     # 2048 half)
-    oob_u, ti_u, si_u, ki_u = compact(over | cm, overflow_capacity)
+    oob_u, ti_u, si_u, ki_u, seg, truncated = compact(
+        over | cm, overflow_capacity
+    )
+    n_overflow = jnp.where(
+        truncated,
+        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
+    )
     code_u = rel_bm[ti_u, si_u, ki_u]
     is_over = ~oob_u & (code_u > window)
     tap_u = jnp.asarray(porig)[jnp.minimum(ki_u, K - 1)]
@@ -545,7 +576,7 @@ def build_plan_mxu(
     )
     return TilePlan(
         rel=rel,
-        starts=jnp.concatenate([fst_arr, n_active[None]]),
+        starts=jnp.concatenate([fst_arr, n_active[None], seg]),
         ov_pos=pos_u.astype(jnp.int32),
         ov_out=out_u.astype(jnp.int32),
         ov_tap=tap_u.astype(jnp.int32),
@@ -554,6 +585,7 @@ def build_plan_mxu(
         window=window,
         n_groups=G,
         perm=perm,
+        tile_ov=overflow_capacity,
     )
 
 

@@ -105,6 +105,10 @@ class TilePlan:
     window: int
     n_groups: int
     perm: Tuple[int, ...]  # band-major tap permutation
+    # per-tile spill-segment budget the kernel scans (rows); builders
+    # whose lists aren't tile-groupable under _TILE_OV set this to the
+    # full capacity (full-list scan, the pre-segmentation contract)
+    tile_ov: int = 512
 
     @property
     def tile(self) -> int:
@@ -115,7 +119,7 @@ jax.tree_util.register_pytree_node(
     TilePlan,
     lambda p: (
         (p.rel, p.starts, p.ov_pos, p.ov_out, p.ov_tap, p.n_overflow),
-        (p.v_out, p.window, p.n_groups, p.perm),
+        (p.v_out, p.window, p.n_groups, p.perm, p.tile_ov),
     ),
     lambda aux, c: TilePlan(*c, *aux),
 )
@@ -348,6 +352,7 @@ def _kernel(
     pack: int,
     window: int,
     gather_mode: bool,
+    tile_ov: int,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -412,7 +417,7 @@ def _kernel(
             # ms/conv (TPU scatters serialize). Slack rows from adjacent
             # tiles fail the site compare and contribute zero.
             m = cb_ref.shape[1]
-            mt = min(_TILE_OV, m)
+            mt = min(tile_ov, m)
             seg = pl.multiple_of(
                 starts_ref[b, pl.num_programs(1) * G + 1 + i], 8
             )
@@ -502,6 +507,7 @@ def _run_kernel(
             pack=pack,
             window=plan.window,
             gather_mode=gather_mode,
+            tile_ov=plan.tile_ov,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * T, n_out), out_dtype),
