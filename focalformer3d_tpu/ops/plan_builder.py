@@ -476,45 +476,30 @@ def build_plan_mxu(
     )
 
     def compact(mask3, cap):
-        # tile-major capture (captured tiles ascend, one tile's rules
-        # contiguous) + per-tile segment starts for the kernel's
-        # in-kernel correction slice — mirrors
-        # sparse_conv_pallas._compact_overflow
-        tcap = max(8, min(n_tiles, cap // tile))
-        tile_any = jnp.any(mask3, axis=(1, 2))
-        n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
-        (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
-        tsafe = jnp.minimum(tidx, n_tiles - 1)
-        live = tidx < n_tiles
-        sub = mask3[tsafe] & live[:, None, None]
-        (fi,) = jnp.nonzero(
-            sub.reshape(-1), size=cap, fill_value=sub.size
-        )
-        oob = fi >= sub.size
+        # exact tile-major enumeration (tiles ascend, one tile's rules
+        # contiguous): cumsum + per-slot binary search — mirrors
+        # sparse_conv_pallas._compact_overflow (tools/micro_compact.py
+        # for the cost data; a bounded tile capture truncated real
+        # scans whose spills spread over more than cap//tile tiles).
+        # Full-capacity per-tile budget (tile_ov=cap below): this
+        # builder's column-window misses cluster far beyond _TILE_OV
+        # on a single tile, and the mxu engine has no rules fallback
+        # for submanifold plans — the kernel scans the whole list per
+        # tile (seg all-zero), so truncation is purely list capacity.
+        flat = mask3.reshape(-1)  # (n_tiles, tile, K) is tile-major
+        csum = jnp.cumsum(flat.astype(jnp.int32))
+        fi = jnp.searchsorted(
+            csum, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        oob = fi >= flat.shape[0]
         tk = tile * K
-        ti = tsafe[jnp.where(oob, 0, fi // tk)]
-        rest = jnp.where(oob, 0, fi % tk)
+        idx = jnp.where(oob, 0, fi)
+        ti = idx // tk
+        rest = idx % tk
         si = rest // K
         ki = rest % K
-        cnt = jnp.sum(sub, axis=(1, 2), dtype=jnp.int32)
-        starts_c = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
-        )
-        # full-capacity per-tile budget (tile_ov=cap below): this
-        # builder's column-window misses cluster far beyond _TILE_OV on
-        # a single tile, and the mxu engine has no rules fallback for
-        # submanifold plans — keep the pre-segmentation full-scan
-        # contract (exact up to the list capacity)
-        mt = cap
-        tail = max(cap - mt, 0)
-        seg_c = jnp.clip(starts_c & ~7, 0, tail)
-        over_budget = jnp.max(
-            jnp.where(live, starts_c + cnt - seg_c, 0)
-        ) > mt
-        truncated = (n_spill_tiles > tcap) | over_budget
-        seg = jnp.full((n_tiles,), tail, jnp.int32).at[tsafe].min(
-            jnp.where(live, seg_c, tail), mode="drop"
-        )
+        truncated = csum[-1] > cap
+        seg = jnp.zeros((n_tiles,), jnp.int32)
         return oob, ti, si, ki, seg, truncated
 
     # single union compaction over both flag kinds — a fixed half/half

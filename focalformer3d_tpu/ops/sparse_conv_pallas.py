@@ -99,8 +99,9 @@ class TilePlan:
     ov_out: jax.Array  # (M,) int32 output sites (n_tiles * T = drop)
     ov_tap: jax.Array  # (M,) int32 tap index (original order)
     n_overflow: jax.Array  # () int32 true overflow count (may exceed M);
-    # forced past the capacity when the list, the spilling-tile capture,
-    # or a per-tile segment budget truncates, so ONE check covers all
+    # forced past the capacity when a per-tile segment exceeds the
+    # kernel's scan budget, so ONE n_overflow > M check covers all
+    # truncation modes (the enumeration itself is exact)
     v_out: int  # true number of output sites (<= n_tiles * T)
     window: int
     n_groups: int
@@ -137,42 +138,39 @@ def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
 
     overflow: (K, n_tiles, tile) bool spill mask; pos3: matching int32
     positions (misses may be any value where overflow is False).
-    Enumerates spills TILE-MAJOR (captured tiles ascend, rules of one
-    tile contiguous), so the kernel's per-tile correction can slice its
-    segment directly — no sort (a jnp.argsort here measured ~5 ms/plan
-    on TPU: bitonic passes). Returns
-    (ov_pos, ov_out, ov_tap, n_overflow, seg); seg (n_tiles,) int32
-    8-aligned starts such that [seg[i], seg[i] + _TILE_OV) covers tile
-    i's spills (slack rows fail the in-kernel site compare). n_overflow
-    is forced past the capacity when the list, the spilling-tile
-    capture, or a per-tile segment budget truncates.
+    Enumerates spills TILE-MAJOR (tiles ascend, rules of one tile
+    contiguous), so the kernel's per-tile correction can slice its
+    segment directly — and EXACTLY for any spill distribution up to
+    the list capacity: a cumsum over the tile-major mask + one binary
+    search per list slot (2.8 ms/plan at production shapes,
+    tools/micro_compact.py). A flat jnp.nonzero measured 38.5 ms
+    (sorts), and the earlier bounded two-stage tile capture silently
+    required n_spill_tiles <= capacity//tile = 16 — real scans spread
+    ~1.4k spills over ~200 tiles, forcing every down conv onto the XLA
+    fallback. Returns (ov_pos, ov_out, ov_tap, n_overflow, seg); seg
+    (n_tiles,) int32 8-aligned starts such that
+    [seg[i], seg[i] + _TILE_OV) covers tile i's spills (slack rows
+    fail the in-kernel site compare). n_overflow is the TRUE spill
+    count, forced past the capacity only when a per-tile segment
+    exceeds the kernel's scan budget — so the callers' single
+    n_overflow > capacity check covers both truncation modes.
     """
     K = overflow.shape[0]
     m = overflow_capacity
-    n_overflow = jnp.sum(overflow, dtype=jnp.int32)
-    tcap = max(8, min(n_tiles, overflow_capacity // tile))
-    tile_any = jnp.any(overflow, axis=(0, 2))  # (n_tiles,)
-    n_spill_tiles = jnp.sum(tile_any, dtype=jnp.int32)
-    n_overflow = jnp.where(
-        n_spill_tiles > tcap,
-        jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
-    )
-    (tidx,) = jnp.nonzero(tile_any, size=tcap, fill_value=n_tiles)
-    tsafe = jnp.minimum(tidx, n_tiles - 1)
-    live_t = tidx < n_tiles
-    ov_sub = jnp.transpose(
-        overflow[:, tsafe, :], (1, 0, 2)
-    ) & live_t[:, None, None]  # (tcap, K, tile) — tile-major
-    (ov_idx,) = jnp.nonzero(
-        ov_sub.reshape(-1), size=m, fill_value=ov_sub.size
-    )
-    oob = ov_idx >= ov_sub.size
+    ov_tm = jnp.transpose(overflow, (1, 0, 2))  # (n_tiles, K, tile)
+    csum = jnp.cumsum(ov_tm.reshape(-1).astype(jnp.int32))
+    n_overflow = csum[-1]
+    # index of the (j+1)-th set bit; j >= n_overflow lands past the end
+    ov_idx = jnp.searchsorted(
+        csum, jnp.arange(1, m + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    oob = ov_idx >= csum.shape[0]
     kt = K * tile
-    ti_c = jnp.where(oob, 0, ov_idx // kt)
-    rest = jnp.where(oob, 0, ov_idx % kt)
+    idx = jnp.where(oob, 0, ov_idx)
+    ov_ti = idx // kt
+    rest = idx % kt
     ov_k = (rest // tile).astype(jnp.int32)
     ov_t = rest % tile
-    ov_ti = tsafe[ti_c]
     ov_pos = jnp.where(
         oob, miss_sentinel, pos3[ov_k, ov_ti, ov_t]
     ).astype(jnp.int32)
@@ -181,26 +179,16 @@ def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
         oob, n_tiles * tile, ov_ti * tile + ov_t
     ).astype(jnp.int32)
 
-    # per-captured-tile counts -> contiguous segment starts (tiny)
-    cnt = jnp.sum(ov_sub, axis=(1, 2), dtype=jnp.int32)  # (tcap,)
-    starts_c = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
-    )
+    # exact per-tile counts -> 8-aligned contiguous segment starts
+    cnt = jnp.sum(ov_tm, axis=(1, 2), dtype=jnp.int32)  # (n_tiles,)
+    ends = jnp.cumsum(cnt)
     mt = min(_TILE_OV, m)
-    seg_c = jnp.clip(starts_c & ~7, 0, max(m - mt, 0))
-    over_budget = jnp.max(
-        jnp.where(live_t, starts_c + cnt - seg_c, 0)
-    ) > mt
+    seg = jnp.clip((ends - cnt) & ~7, 0, max(m - mt, 0))
+    over_budget = jnp.max(jnp.where(cnt > 0, ends - seg, 0)) > mt
     n_overflow = jnp.where(
         over_budget,
         jnp.maximum(n_overflow, overflow_capacity + 1), n_overflow,
     )
-    # uncaptured tiles point at the list's tail (sentinel / other-tile
-    # rows only — the in-kernel site compare masks them). min-combine:
-    # dead capture slots alias tsafe[-1] and must not clobber a live seg
-    seg = jnp.full((n_tiles,), max(m - mt, 0), jnp.int32).at[
-        tsafe
-    ].min(jnp.where(live_t, seg_c, max(m - mt, 0)), mode="drop")
     return ov_pos, ov_out, ov_k, n_overflow, seg
 
 

@@ -396,3 +396,42 @@ def test_truncation_reroutes_to_exact_xla():
     np.testing.assert_allclose(
         np.asarray(out[0]), np.asarray(ref), atol=1e-5
     )
+
+
+def test_compact_overflow_many_tiles_exact():
+    """Spills spread over MORE tiles than capacity//tile are enumerated
+    exactly, tile-major (the r4 driver-bench bug: the old two-stage tile
+    capture silently required n_spill_tiles <= capacity//tile = 16 and
+    force-flagged truncation on real scans spreading ~1.4k spills over
+    ~200 tiles, sending every down conv through the XLA fallback)."""
+    rng = np.random.RandomState(3)
+    K, n_tiles, tile, m = 5, 60, 16, 1024
+    mask = np.zeros((K, n_tiles, tile), bool)
+    # 15 spills in each of 48 tiles = 720 total; the old capture bound
+    # was max(8, 1024 // 16) = 64 tiles -- use a tight m to also check
+    # segment-start clipping: starts run past m - _TILE_OV = 512
+    for t in range(48):
+        mask[rng.randint(0, K, 15), t, rng.randint(0, tile, 15)] = True
+    pos3 = rng.randint(0, 500, size=(K, n_tiles, tile)).astype(np.int32)
+    ov_pos, ov_out, ov_k, n_ov, seg = scp._compact_overflow(
+        jnp.asarray(mask), jnp.asarray(pos3), n_tiles, tile, 999, m
+    )
+    n = int(mask.sum())
+    assert n <= m and int(n_ov) == n  # exact count, no forced flag
+    # tile-major oracle
+    tm = np.transpose(mask, (1, 0, 2)).reshape(-1)
+    flat_idx = np.flatnonzero(tm)
+    ti, rest = flat_idx // (K * tile), flat_idx % (K * tile)
+    kk, tt = rest // tile, rest % tile
+    np.testing.assert_array_equal(np.asarray(ov_out)[:n], ti * tile + tt)
+    np.testing.assert_array_equal(np.asarray(ov_k)[:n], kk)
+    np.testing.assert_array_equal(np.asarray(ov_pos)[:n], pos3[kk, ti, tt])
+    assert np.all(np.asarray(ov_out)[n:] == n_tiles * tile)
+    assert np.all(np.asarray(ov_pos)[n:] == 999)
+    # every tile's spill rows live inside its kernel scan segment
+    segs = np.asarray(seg)
+    assert np.all(segs % 8 == 0) and np.all(segs <= m - scp._TILE_OV)
+    for i in np.unique(ti):
+        rows = np.nonzero(ti == i)[0]
+        assert segs[i] <= rows.min()
+        assert rows.max() < segs[i] + scp._TILE_OV
