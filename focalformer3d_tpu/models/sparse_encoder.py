@@ -362,6 +362,12 @@ class SparseEncoder(nn.Module):
     # at the production windows (1366, L2 subm; down ~0 at 1792).
     plan_overflow: int = 4096
     plan_overflow_down: int = 4096
+    # per-tile spill-segment budget the kernel scans (rows). Subm spills
+    # cluster: the r4 driver scan put 878 of L2's 1366 spills on ONE
+    # tile (tools/micro_tilespill.py), so the subm budget is 1024; down
+    # plans measured 0 spills at window 1792 and keep the cheaper 512.
+    plan_tile_ov: int = 1024
+    plan_tile_ov_down: int = 512
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -482,7 +488,8 @@ class SparseEncoder(nn.Module):
                 )
                 rules_t = scp.transpose_rules(rules, in_cap, ks)
                 plan_t = scp.build_tile_plan(
-                    rules_t, out_cap, ks, tile, win_t, ov
+                    rules_t, out_cap, ks, tile, win_t, ov,
+                    self.plan_tile_ov_down,
                 )
                 pairs.append((plan, plan_t, rules))
             pair = jax.tree.map(lambda *x: jnp.stack(x), *pairs)
@@ -507,6 +514,7 @@ class SparseEncoder(nn.Module):
                         scp._padded_rows(out_cap))
             tile = self.plan_tile if subm else self.plan_tile_down
             ov = self.plan_overflow if subm else self.plan_overflow_down
+            tov = self.plan_tile_ov if subm else self.plan_tile_ov_down
             if meta9 is None:
                 # widened meta is only consumed by 3x3-BEV rule builds;
                 # callers hoist it per level so subm + down share one
@@ -521,7 +529,7 @@ class SparseEncoder(nn.Module):
                     meta9=m9,
                 )
                 plan = scp.build_tile_plan(
-                    rules, in_cap, ks, tile, win, ov
+                    rules, in_cap, ks, tile, win, ov, tov
                 )
                 if subm:
                     return plan, plan, rules
@@ -533,7 +541,7 @@ class SparseEncoder(nn.Module):
                         stride, pad,
                     )
                 plan_t = scp.build_tile_plan(
-                    rules_t, out_cap, ks, tile, win_t, ov
+                    rules_t, out_cap, ks, tile, win_t, ov, tov
                 )
                 return plan, plan_t, rules
 

@@ -133,7 +133,7 @@ _TILE_OV = 512
 
 
 def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
-                      overflow_capacity):
+                      overflow_capacity, tile_ov=_TILE_OV):
     """Tile-grouped spill compaction + per-tile segment starts.
 
     overflow: (K, n_tiles, tile) bool spill mask; pos3: matching int32
@@ -182,7 +182,7 @@ def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
     # exact per-tile counts -> 8-aligned contiguous segment starts
     cnt = jnp.sum(ov_tm, axis=(1, 2), dtype=jnp.int32)  # (n_tiles,)
     ends = jnp.cumsum(cnt)
-    mt = min(_TILE_OV, m)
+    mt = min(tile_ov, m)
     seg = jnp.clip((ends - cnt) & ~7, 0, max(m - mt, 0))
     over_budget = jnp.max(jnp.where(cnt > 0, ends - seg, 0)) > mt
     n_overflow = jnp.where(
@@ -204,8 +204,14 @@ def build_tile_plan(
     tile: int = 256,
     window: int = 1024,
     overflow_capacity: int = 8192,
+    tile_ov: int = _TILE_OV,
 ) -> TilePlan:
-    """Per-tile band windows + window-relative rules (+ overflow spill)."""
+    """Per-tile band windows + window-relative rules (+ overflow spill).
+
+    ``tile_ov`` is the per-tile spill-segment budget the kernel scans;
+    plans whose worst spilling tile exceeds it force the truncation
+    signal (r4 driver bench: one L2-subm tile carried 878 spills vs the
+    default 512 budget — tools/micro_tilespill.py)."""
     if window % _ALIGN:  # pragma: no cover - config error
         raise ValueError(f"window {window} must be a multiple of {_ALIGN}")
     K, v_out = rules.shape
@@ -240,7 +246,7 @@ def build_tile_plan(
     # Two-stage, tile-major overflow compaction (see _compact_overflow).
     ov_pos, ov_out, ov_k, n_overflow, seg = _compact_overflow(
         valid & ~in_win, pos, n_tiles, tile, in_capacity,
-        overflow_capacity,
+        overflow_capacity, tile_ov,
     )
 
     # 1 + index of the last tile with any live rule (not a popcount, so
@@ -263,6 +269,7 @@ def build_tile_plan(
         window=window,
         n_groups=n_groups,
         perm=perm,
+        tile_ov=min(tile_ov, overflow_capacity),
     )
 
 
@@ -749,6 +756,7 @@ def build_plan_direct(
     window: int = 512,
     overflow_capacity: int = 8192,
     with_rules: bool = False,
+    tile_ov: int = _TILE_OV,
 ):
     """Fused rulebook + tile-plan construction.
 
@@ -875,7 +883,7 @@ def build_plan_direct(
     ov_pos, ov_out, ov_k, n_overflow, seg = _compact_overflow(
         (ok_all & ~in_win).reshape(-1, n_tiles, tile),
         rel_abs.reshape(K, n_tiles, tile), n_tiles, tile, V,
-        overflow_capacity,
+        overflow_capacity, tile_ov,
     )
 
     st_flat = jnp.stack(
@@ -900,6 +908,7 @@ def build_plan_direct(
         window=window,
         n_groups=n_groups,
         perm=perm,
+        tile_ov=min(tile_ov, overflow_capacity),
     )
     if with_rules:
         rules = jnp.stack(pos_taps, 0)[:, :v_out]

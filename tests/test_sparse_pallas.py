@@ -435,3 +435,42 @@ def test_compact_overflow_many_tiles_exact():
         rows = np.nonzero(ti == i)[0]
         assert segs[i] <= rows.min()
         assert rows.max() < segs[i] + scp._TILE_OV
+
+
+def test_tile_ov_budget_configurable():
+    """A single-tile spill cluster beyond the default 512-row segment
+    budget forces the truncation signal at tile_ov=512 but is accepted
+    (exact count) at tile_ov=1024 — the r4 driver-bench L2-subm case:
+    878 of 1366 spills on one tile (tools/micro_tilespill.py)."""
+    rng = np.random.RandomState(5)
+    K, n_tiles, tile, m = 27, 8, 64, 4096
+    mask = np.zeros((K, n_tiles, tile), bool)
+    # 878 spills on tile 3 (dense cluster), a few elsewhere
+    flat = rng.choice(K * tile, size=878, replace=False)
+    mask[flat // tile, 3, flat % tile] = True
+    mask[0, 0, 1] = True
+    mask[2, 6, 5] = True
+    pos3 = rng.randint(0, 500, size=(K, n_tiles, tile)).astype(np.int32)
+    n = int(mask.sum())
+
+    _, _, _, n_ov512, _ = scp._compact_overflow(
+        jnp.asarray(mask), jnp.asarray(pos3), n_tiles, tile, 999, m,
+        tile_ov=512,
+    )
+    assert int(n_ov512) == m + 1  # forced -> checked XLA fallback
+
+    ov_pos, ov_out, ov_k, n_ov, seg = scp._compact_overflow(
+        jnp.asarray(mask), jnp.asarray(pos3), n_tiles, tile, 999, m,
+        tile_ov=1024,
+    )
+    assert int(n_ov) == n  # exact, no forced flag
+    tm = np.transpose(mask, (1, 0, 2)).reshape(-1)
+    flat_idx = np.flatnonzero(tm)
+    ti, rest = flat_idx // (K * tile), flat_idx % (K * tile)
+    kk, tt = rest // tile, rest % tile
+    np.testing.assert_array_equal(np.asarray(ov_out)[:n], ti * tile + tt)
+    segs = np.asarray(seg)
+    for i in np.unique(ti):
+        rows = np.nonzero(ti == i)[0]
+        assert segs[i] <= rows.min()
+        assert rows.max() < segs[i] + 1024
