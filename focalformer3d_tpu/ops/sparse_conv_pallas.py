@@ -131,6 +131,11 @@ jax.tree_util.register_pytree_node(
 # the truncation signal (-> checked XLA fallback)
 _TILE_OV = 512
 
+# tiles fused into one kernel grid step: per-step overhead measured
+# ~2.5 us independent of per-step dot count/size (micro_dotshape2.py),
+# so 4 tiles/step saves ~1.1 ms per 600-tile conv for +3x out-block VMEM
+_STEP_TILES = 4
+
 
 def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
                       overflow_capacity, tile_ov=_TILE_OV):
@@ -352,81 +357,99 @@ def _kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     G = n_groups
-    rel = rel_ref[0, 0]  # (T, K)
-    T, K = rel.shape
+    S = rel_ref.shape[1]  # tiles per grid step
+    T, K = rel_ref.shape[2], rel_ref.shape[3]
     tpg = K // G
     cl = x_ref.shape[2]  # p * C
     c = cl // pack
     wb = window // pack
+    n_tiles = pl.num_programs(1) * S
     # trailing starts element = active tile count (CSR-prefix outputs, so
     # fully-padded tiles form a suffix): skip their two MXU dots entirely
     # — real scans fill 60-80% of capacity, the rest is pure padding
-    count = starts_ref[b, pl.num_programs(1) * G]
+    count = starts_ref[b, n_tiles * G]
 
-    @pl.when(i >= count)
-    def _pad_tile():
-        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+    # S tiles per grid step: the measured per-grid-step overhead is
+    # ~2.5 us regardless of per-step dot work (tools/micro_dotshape2.py
+    # — 27 small dots cost the same step as 3 big ones), so fusing 4
+    # tiles into one step cuts ~75% of it (~1.1 ms/conv at 600 tiles)
+    for s in range(S):
+        t_id = i * S + s
+        rel = rel_ref[0, s]  # (T, K)
 
-    @pl.when(i < count)
-    def _live_tile():
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
-        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+        @pl.when(t_id >= count)
+        def _pad_tile(s=s):
+            out_ref[0, s * T:(s + 1) * T, :] = jnp.zeros(
+                (T, out_ref.shape[2]), out_ref.dtype
+            )
 
-        acc = None
-        for g in range(G):
-            for j in range(tpg):
-                r = rel[:, g * tpg + j][:, None]  # (T, 1)
-                oh_ref[j * T:(j + 1) * T, :] = (
-                    r // pack == iota_w
-                ).astype(jnp.bfloat16)
-            start = pl.multiple_of(starts_ref[b, i * G + g], _ALIGN)
-            win = x_ref[
-                0, pl.ds(pl.multiple_of(start // pack, 8), wb), :
-            ].astype(jnp.bfloat16)  # (wb, cl)
-            gath = jnp.dot(
-                oh_ref[:, :], win, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)  # (tpg*T, cl)
-            # fused sub-row mask + lane-concat into mb_ref
-            for j in range(tpg):
-                piece = gath[j * T:(j + 1) * T, :]
-                if pack > 1:
-                    r = rel[:, g * tpg + j][:, None]
-                    piece = piece * (
-                        lane_blk == (r % pack)
+        @pl.when(t_id < count)
+        def _live_tile(s=s, t_id=t_id, rel=rel):
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, wb), 1)
+            lane_blk = jax.lax.broadcasted_iota(jnp.int32, (T, cl), 1) // c
+
+            acc = None
+            for g in range(G):
+                for j in range(tpg):
+                    r = rel[:, g * tpg + j][:, None]  # (T, 1)
+                    oh_ref[j * T:(j + 1) * T, :] = (
+                        r // pack == iota_w
                     ).astype(jnp.bfloat16)
-                if gather_mode:
-                    t0 = (g * tpg + j) * cl
-                    out_ref[0, :, t0:t0 + cl] = piece.astype(out_ref.dtype)
-                else:
-                    mb_ref[:, j * cl:(j + 1) * cl] = piece
-            if not gather_mode:
-                part = jnp.dot(
-                    mb_ref[:, :], wbig_ref[g],
-                    preferred_element_type=jnp.float32,
+                start = pl.multiple_of(
+                    starts_ref[b, t_id * G + g], _ALIGN
                 )
-                acc = part if acc is None else acc + part
-        if not gather_mode:
-            # window-spill correction, in-kernel: the tile's slice of the
-            # sorted spill list is folded in as one (MT, T)^T @ (MT, Cout)
-            # dot — an XLA scatter-add of the same rows measured 3-4
-            # ms/conv (TPU scatters serialize). Slack rows from adjacent
-            # tiles fail the site compare and contribute zero.
-            m = cb_ref.shape[1]
-            mt = min(tile_ov, m)
-            seg = pl.multiple_of(
-                starts_ref[b, pl.num_programs(1) * G + 1 + i], 8
-            )
-            ov = ovo_ref[0, pl.ds(seg, mt), :]  # (MT, 1)
-            cb = cb_ref[0, pl.ds(seg, mt), :]  # (MT, Cout) f32
-            site = i * T + jax.lax.broadcasted_iota(
-                jnp.int32, (mt, T), 1
-            )
-            oh_t = (ov == site).astype(jnp.float32)  # (MT, T)
-            corr = jax.lax.dot_general(
-                oh_t, cb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (T, Cout)
-            out_ref[0, :, :] = (acc + corr).astype(out_ref.dtype)
+                win = x_ref[
+                    0, pl.ds(pl.multiple_of(start // pack, 8), wb), :
+                ].astype(jnp.bfloat16)  # (wb, cl)
+                gath = jnp.dot(
+                    oh_ref[:, :], win, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)  # (tpg*T, cl)
+                # fused sub-row mask + lane-concat into mb_ref
+                for j in range(tpg):
+                    piece = gath[j * T:(j + 1) * T, :]
+                    if pack > 1:
+                        r = rel[:, g * tpg + j][:, None]
+                        piece = piece * (
+                            lane_blk == (r % pack)
+                        ).astype(jnp.bfloat16)
+                    if gather_mode:
+                        t0 = (g * tpg + j) * cl
+                        out_ref[0, s * T:(s + 1) * T, t0:t0 + cl] = (
+                            piece.astype(out_ref.dtype)
+                        )
+                    else:
+                        mb_ref[:, j * cl:(j + 1) * cl] = piece
+                if not gather_mode:
+                    part = jnp.dot(
+                        mb_ref[:, :], wbig_ref[g],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+            if not gather_mode:
+                # window-spill correction, in-kernel: the tile's slice of
+                # the sorted spill list is folded in as one (MT, T)^T @
+                # (MT, Cout) dot — an XLA scatter-add of the same rows
+                # measured 3-4 ms/conv (TPU scatters serialize). Slack
+                # rows from adjacent tiles fail the site compare and
+                # contribute zero.
+                m = cb_ref.shape[1]
+                mt = min(tile_ov, m)
+                seg = pl.multiple_of(
+                    starts_ref[b, n_tiles * G + 1 + t_id], 8
+                )
+                ov = ovo_ref[0, pl.ds(seg, mt), :]  # (MT, 1)
+                cb = cb_ref[0, pl.ds(seg, mt), :]  # (MT, Cout) f32
+                site = t_id * T + jax.lax.broadcasted_iota(
+                    jnp.int32, (mt, T), 1
+                )
+                oh_t = (ov == site).astype(jnp.float32)  # (MT, T)
+                corr = jax.lax.dot_general(
+                    oh_t, cb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, Cout)
+                out_ref[0, s * T:(s + 1) * T, :] = (
+                    acc + corr
+                ).astype(out_ref.dtype)
 
 
 def _run_kernel(
@@ -449,6 +472,25 @@ def _run_kernel(
     n_out = K * cl if gather_mode else cout
     if interpret is None:
         interpret = _interpret_default()
+
+    # tiles per grid step (see _kernel): amortizes the ~2.5 us per-step
+    # overhead. gather_mode keeps S=1 — its out block is K*cl wide and
+    # S=4 would quadruple an already-large VMEM block.
+    S = 1 if gather_mode else min(_STEP_TILES, n_tiles)
+    rel = plan.rel
+    starts = plan.starts
+    if n_tiles % S:
+        pad_t = S - n_tiles % S
+        ntp = n_tiles + pad_t
+        rel = jnp.pad(rel, ((0, 0), (0, pad_t), (0, 0), (0, 0)),
+                      constant_values=plan.window)
+        # starts layout: (n_tiles*G band starts, count, n_tiles seg)
+        starts = jnp.concatenate([
+            jnp.pad(starts[:, : n_tiles * G], ((0, 0), (0, pad_t * G))),
+            starts[:, n_tiles * G: n_tiles * G + 1],
+            jnp.pad(starts[:, n_tiles * G + 1:], ((0, 0), (0, pad_t))),
+        ], axis=1)
+        n_tiles = ntp
     if contrib is None or gather_mode:
         # zero correction (gather mode handles spills separately in the
         # dW path; probe callers measure the bare kernel): dummy blocks,
@@ -466,14 +508,14 @@ def _run_kernel(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_tiles),
+        grid=(B, n_tiles // S),
         in_specs=[
             pl.BlockSpec(
                 (1,) + xp.shape[1:], lambda b, i, s: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, T, K), lambda b, i, s: (b, i, 0, 0),
+                (1, S, T, K), lambda b, i, s: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -487,7 +529,7 @@ def _run_kernel(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, n_out), lambda b, i, s: (b, i, 0),
+            (1, S * T, n_out), lambda b, i, s: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -511,7 +553,7 @@ def _run_kernel(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plan.starts, xp, plan.rel, wbig, contrib, ov_out)
+    )(starts, xp, rel, wbig, contrib, ov_out)
     return out
 
 
