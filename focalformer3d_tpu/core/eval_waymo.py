@@ -141,15 +141,49 @@ def _heading_acc(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(0.0, 1.0 - d / np.pi)
 
 
+def _match_optimal(iou_sub: np.ndarray, thresh: float):
+    """Official-style OPTIMAL assignment (the WOD metrics binary's
+    Hungarian matcher, matcher.cc TYPE_HUNGARIAN): maximize the summed
+    IoU over pairs with IoU >= thresh. Returns (pred_rows, gt_cols) of
+    the matched pairs. scipy runs host-side here (the on-device auction
+    in core/hungarian.py exists because pure_callback is unsupported on
+    the TPU backend — evaluation is NumPy on host, so the exact solver
+    is fine)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if iou_sub.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    elig = iou_sub >= thresh
+    if not elig.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    cost = np.where(elig, -iou_sub, 0.0)
+    ri, ci = linear_sum_assignment(cost)
+    keep = elig[ri, ci]
+    return ri[keep], ci[keep]
+
+
 def accumulate_class(
     preds: List[dict],  # per frame {boxes (P,7+), scores (P,), ...}
     gts: List[dict],  # per frame {boxes (G,7+), l2_only (G,) bool}
     iou_thresh: float,
     level: int,
+    num_cutoffs: int = 101,
 ) -> Dict[str, float]:
-    """Match one class over all frames; returns AP and APH."""
-    scores_all, tp_all, hacc_all = [], [], []
+    """Match one class over all frames; returns AP and APH.
+
+    Matching follows the official metric: at each score cutoff, the
+    surviving predictions are matched to ground truth by OPTIMAL
+    (Hungarian max-IoU-sum) assignment, not greedily — greedy diverges
+    when a high-score prediction takes the GT a lower-score one needs
+    (VERDICT r4 missing #1). Score cutoffs are the pooled prediction
+    scores downsampled to ``num_cutoffs`` (the official tool's dynamic
+    cutoffs); the per-frame Hungarian only re-runs when the frame's
+    candidate subset changes (candidates above a cutoff form a prefix of
+    the frame's score-sorted candidate list).
+    """
+    frames = []
     n_gt = 0
+    all_scores = []
     for pred, gt in zip(preds, gts):
         gb = np.asarray(gt["boxes"], np.float64)
         gboxes = gb.reshape(len(gb), -1)[:, :7] \
@@ -157,63 +191,87 @@ def accumulate_class(
         l2only = np.asarray(
             gt.get("l2_only", np.zeros(len(gboxes), bool)), bool
         )
-        if level == 1:
-            counted = ~l2only
-        else:
-            counted = np.ones(len(gboxes), bool)
+        counted = ~l2only if level == 1 else np.ones(len(gboxes), bool)
         n_gt += int(counted.sum())
         scores = np.asarray(pred["scores"], np.float64)
         pboxes = np.asarray(pred["boxes"], np.float64)
         pboxes = pboxes.reshape(len(pboxes), -1)[:, :7] \
             if len(pboxes) else np.zeros((0, 7))
+        all_scores.append(scores)
         if len(pboxes) == 0:
             continue
         if len(gboxes) == 0:
-            scores_all.append(scores)
-            tp_all.append(np.zeros(len(scores)))
-            hacc_all.append(np.zeros(len(scores)))
+            frames.append({"scores": np.sort(scores)[::-1],
+                           "cand": None})
             continue
         iou = iou3d_matrix(pboxes, gboxes)  # one batched matrix per frame
-        order = np.argsort(-scores)
-        # predictions that overlap no GT above threshold are unconditional
-        # FPs — keep the sequential loop to the candidates only
-        cand = iou[order].max(axis=1) >= iou_thresh
-        fp_idx = order[~cand]
-        scores_all.append(scores[fp_idx])
-        tp_all.append(np.zeros(len(fp_idx)))
-        hacc_all.append(np.zeros(len(fp_idx)))
-        taken = np.zeros(len(gboxes), bool)
-        for i in order[cand]:
-            ious = np.where(taken, -1.0, iou[i])
-            j = int(np.argmax(ious))
-            if ious[j] >= iou_thresh:
-                taken[j] = True
-                if counted[j]:
-                    h = float(_heading_acc(pboxes[i, 6], gboxes[j, 6]))
-                    scores_all.append(np.array([scores[i]]))
-                    tp_all.append(np.array([1.0]))
-                    hacc_all.append(np.array([h]))
-                # else: matched an uncounted (L2-only) box — ignored
-            else:
-                scores_all.append(np.array([scores[i]]))
-                tp_all.append(np.array([0.0]))
-                hacc_all.append(np.array([0.0]))
-    if n_gt == 0 or not scores_all:
+        # predictions overlapping no GT above threshold are FPs at every
+        # cutoff; only candidates enter the assignment
+        cand = iou.max(axis=1) >= iou_thresh
+        ci = np.nonzero(cand)[0]
+        order = ci[np.argsort(-scores[ci])]
+        hmat = _heading_acc(
+            pboxes[:, 6][:, None], gboxes[:, 6][None, :]
+        )
+        frames.append({
+            "scores": np.sort(scores)[::-1],  # all preds, desc
+            "cand": order,  # candidate pred idx, score-desc
+            "cand_scores": scores[order],
+            "iou": iou,
+            "h": hmat,
+            "counted": counted,
+            "cache": {},
+        })
+    if n_gt == 0 or not all_scores:
         return {"ap": 0.0, "aph": 0.0, "n_gt": n_gt}
-    scores = np.concatenate(scores_all)
-    tp = np.concatenate(tp_all)
-    hacc = np.concatenate(hacc_all)
-    if len(tp) == 0:
+    pooled = np.sort(np.concatenate(all_scores))
+    if len(pooled) == 0:
         return {"ap": 0.0, "aph": 0.0, "n_gt": n_gt}
-    order = np.argsort(-scores, kind="stable")
-    tp = tp[order]
-    hacc = hacc[order]
-    ctp = np.cumsum(tp)
-    chtp = np.cumsum(tp * hacc)
-    npred = np.arange(1, len(tp) + 1)
-    recall = ctp / n_gt
-    prec = ctp / npred
-    prec_h = chtp / npred
+    if len(pooled) <= num_cutoffs:
+        cutoffs = np.unique(pooled)
+    else:
+        idx = np.linspace(0, len(pooled) - 1, num_cutoffs).astype(int)
+        cutoffs = np.unique(pooled[idx])
+    cutoffs = cutoffs[::-1]  # high cutoff (low recall) first
+
+    def frame_match(fr, k):
+        """Optimal match of the frame's top-k candidates; cached."""
+        if k in fr["cache"]:
+            return fr["cache"][k]
+        sel = fr["cand"][:k]
+        ri, ci = _match_optimal(fr["iou"][sel], iou_thresh)
+        rows = sel[ri]
+        tp = int(fr["counted"][ci].sum())
+        hsum = float(fr["h"][rows, ci][fr["counted"][ci]].sum())
+        ign = int(len(ci) - tp)  # matched an uncounted (L2-only) box
+        fr["cache"][k] = (tp, hsum, ign)
+        return fr["cache"][k]
+
+    nc = len(cutoffs)
+    TP = np.zeros(nc)
+    FP = np.zeros(nc)
+    H = np.zeros(nc)
+    for fr in frames:
+        above = np.searchsorted(-fr["scores"], -cutoffs, side="right")
+        if fr["cand"] is None:
+            FP += above
+            continue
+        k_all = np.searchsorted(
+            -fr["cand_scores"], -cutoffs, side="right"
+        )
+        for t in range(nc):
+            tp, hsum, ign = frame_match(fr, int(k_all[t]))
+            TP[t] += tp
+            H[t] += hsum
+            FP[t] += above[t] - tp - ign
+    denom = np.maximum(TP + FP, 1e-9)
+    recall = TP / n_gt
+    prec = TP / denom
+    # APH: heading accuracy weights each TP's precision contribution;
+    # the recall axis stays TP-based (the repo's pinned convention —
+    # with realistic heading errors the two axis conventions agree to
+    # well under model noise)
+    prec_h = H / denom
 
     def interp_ap(rec, pr):
         ap = 0.0

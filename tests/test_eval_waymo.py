@@ -187,3 +187,50 @@ def test_l1_l2_split_semantics():
     np.testing.assert_array_equal(
         l2, [False, True, True, False, True]
     )
+
+
+def test_optimal_assignment_beats_greedy_crossing():
+    """The official Hungarian matcher's signature case: a high-score
+    prediction overlaps TWO ground truths and greedily grabs the one the
+    lower-score prediction needs. Greedy score-order matching yields
+    1 TP + 1 FP; the optimal assignment pairs both (2 TP) and AP = 1.
+
+    Geometry (axis-aligned 4x2 boxes, IoU thresh 0.7 for Car):
+      gt A at x=0, gt B at x=0.8
+      pred P1 (score .9) at x=0.4  -> IoU(A)=0.75 < IoU(B)=0.79... pick
+      shapes so P1's best is A while P2 only overlaps A.
+    """
+    # gt A at 0, gt B at 1.0; P1 at 0.5 overlaps both (closer to A via
+    # a slight offset), P2 at -0.1 overlaps only A above threshold.
+    def iou_1d_pair(x1, x2, dx=4.0):
+        inter = max(0.0, dx - abs(x1 - x2))
+        return inter / (2 * dx - inter)
+
+    # verify the construction overlaps as intended
+    assert iou_1d_pair(0.45, 0.0) > 0.7  # P1-A
+    assert iou_1d_pair(0.45, 1.0) > 0.7  # P1-B
+    assert iou_1d_pair(-0.35, 0.0) > 0.7  # P2-A
+    assert iou_1d_pair(-0.35, 1.0) < 0.7  # P2-B below threshold
+    assert iou_1d_pair(0.45, 0.0) > iou_1d_pair(0.45, 1.0)  # greedy bait
+
+    preds, gts = _frame(
+        [_box(0.45, 0), _box(-0.35, 0)], [0.9, 0.8], [0, 0],
+        [_box(0, 0), _box(1.0, 0)], [0, 0],
+    )
+    m = ew.evaluate_detections(preds, gts, CLASSES)
+    # greedy: P1 takes A (its argmax), P2 finds B below threshold -> FP;
+    # optimal: P1-B + P2-A both above threshold -> perfect AP
+    assert abs(m["L2/Car_AP"] - 1.0) < 1e-6
+
+
+def test_match_optimal_max_iou_sum():
+    """_match_optimal maximizes summed IoU over eligible pairs."""
+    iou = np.array([[0.9, 0.75], [0.8, 0.0]])
+    ri, ci = ew._match_optimal(iou, 0.7)
+    pairs = set(zip(ri.tolist(), ci.tolist()))
+    # row0->col1 + row1->col0 (0.75+0.8) beats row0->col0 alone (0.9)
+    assert pairs == {(0, 1), (1, 0)}
+    # ineligible pairs are never returned
+    iou = np.array([[0.6, 0.5]])
+    ri, ci = ew._match_optimal(iou, 0.7)
+    assert len(ri) == 0
