@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pillar_conv as pc
+from ..ops import sparse_conv_zrun as scz
 from ..ops import plan_builder as pb
 from ..ops import sparse_conv as sc
 from ..ops import sparse_conv_pallas as scp
@@ -49,23 +50,45 @@ def _batched_pallas_conv(feats, plans, w, valid, kernel_size=3,
                          bias=None):
     """Batched pallas conv: one kernel launch with a (B, n_tiles) grid.
 
-    ``plans`` is (plan, plan_t, rules-or-None). When the absolute rulebook
-    is available, exactness is STRUCTURAL: if any plan's true window-spill
-    count exceeds its overflow-list capacity (so rules would be silently
-    dropped — the r3 driver bench measured 53k spills against a 4k list),
-    a lax.cond reroutes this conv through the exact XLA gather-GEMM path.
-    The fallback branch costs nothing when not taken; the reference's
-    spconv is unconditionally exact (SURVEY §2.3), so must we be.
+    ``plans`` is (plan, plan_t, rules-or-None[, zplan]). With a 4-tuple
+    the z-run kernel (ops/sparse_conv_zrun.py) carries the forward — one
+    anchored selection row per (site, BEV tap) instead of one per tap —
+    and the one-hot plans ride along for its backward. When the absolute
+    rulebook is available, exactness is STRUCTURAL: if any plan's true
+    window-spill count exceeds its overflow-list capacity (so rules
+    would be silently dropped — the r3 driver bench measured 53k spills
+    against a 4k list), a lax.cond reroutes this conv through the exact
+    XLA gather-GEMM path. The fallback branch costs nothing when not
+    taken; the reference's spconv is unconditionally exact (SURVEY
+    §2.3), so must we be.
     """
-    plan, plan_t, rules = plans
-    out = scp.apply_conv_pallas_batched(
-        feats, plan, plan_t, w, valid, bias=bias,
-        kernel_size=kernel_size,
-    )
+    zplan = None
+    if len(plans) == 4:
+        plan, plan_t, rules, zplan = plans
+    else:
+        plan, plan_t, rules = plans
+    if zplan is not None:
+        out = scz.apply_conv_zrun_batched(
+            feats, zplan, plan, plan_t, w, valid, bias=bias,
+        )
+    else:
+        out = scp.apply_conv_pallas_batched(
+            feats, plan, plan_t, w, valid, bias=bias,
+            kernel_size=kernel_size,
+        )
     if rules is None:
         return out
     m_cap = plan.ov_pos.shape[-1]
     truncated = jnp.any(plan.n_overflow > m_cap)
+    if zplan is not None:
+        truncated |= jnp.any(
+            zplan.n_overflow > zplan.ov_pos.shape[-1]
+        )
+    if plan_t is not plan:
+        # the transposed plan feeds the backward dx: a spill list it
+        # overruns would silently drop corrections there (ADVICE r4
+        # medium), so it participates in the reroute predicate too
+        truncated |= jnp.any(plan_t.n_overflow > plan_t.ov_pos.shape[-1])
 
     def exact_xla(feats_, w_):
         y = jax.vmap(
@@ -328,7 +351,10 @@ class SparseEncoder(nn.Module):
     # fixed voxel-table / pillar-set capacities per resolution level
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
     out_capacity: int = 40000
-    engine: str = "voxel"  # 'voxel' | 'pillar' | 'pallas' | 'pallas_mxu'
+    # 'voxel' | 'pillar' | 'pallas' (one-hot Pallas kernel, production
+    # TPU path) | 'pallas_zrun' (z-run apply variant; exact but measured
+    # slower — tools/micro_zrun.py) | 'pallas_mxu' (MXU plan builder)
+    engine: str = "voxel"
     # first level to run on a DENSE grid (4 = never). Coarse levels are
     # 3-30% occupied on real scans, where XLA's dense conv3d on the MXU
     # beats any gather scheme AND needs no rulebook/plan build or
@@ -453,7 +479,14 @@ class SparseEncoder(nn.Module):
     def _voxel_forward(self, features, coords, valid, train):
         shape = tuple(self.sparse_shape)
         n_stage = len(self.encoder_channels)
-        pallas = self.engine in ("pallas", "pallas_mxu")
+        pallas = self.engine in ("pallas", "pallas_zrun", "pallas_mxu")
+        # 'pallas_zrun' swaps the z-run forward kernel in (one anchored
+        # selection row per (site, BEV tap) — docs/PERF.md r4 spec).
+        # Measured SLOWER than the one-hot kernel on the r5 TPU probe
+        # (tools/micro_zrun.py: subm ~1.1x, down ~1.8-2x — the 4-block
+        # ycat widens the selection dot 1.33x and the per-dx staging
+        # scales with the window), so 'pallas' keeps the one-hot apply.
+        zrun = self.engine == "pallas_zrun"
         overflow_counts = []  # per-plan true spill counts (see sow below)
 
         def make_plans_mxu(meta, chunks, colz_out, shp, in_cap, out_cap,
@@ -531,8 +564,16 @@ class SparseEncoder(nn.Module):
                 plan = scp.build_tile_plan(
                     rules, in_cap, ks, tile, win, ov, tov
                 )
+                zp = None
+                if zrun:
+                    zp = scz.build_zplan(
+                        t, shp, oc, o_v, ks, stride, pad, tile=tile,
+                        window=win, overflow_capacity=ov, tile_ov=tov,
+                        meta9=m9 if ks == 3 else None,
+                    )
                 if subm:
-                    return plan, plan, rules
+                    return (plan, plan, rules, zp) if zrun else (
+                        plan, plan, rules)
                 if om is None:
                     rules_t = scp.transpose_rules(rules, in_cap, ks)
                 else:
@@ -543,7 +584,8 @@ class SparseEncoder(nn.Module):
                 plan_t = scp.build_tile_plan(
                     rules_t, out_cap, ks, tile, win_t, ov, tov
                 )
-                return plan, plan_t, rules
+                return (plan, plan_t, rules, zp) if zrun else (
+                    plan, plan_t, rules)
 
             if subm or out_meta is None:
                 pair = jax.vmap(one)(table, out_coords, out_valid, meta9)
@@ -766,7 +808,7 @@ class SparseEncoder(nn.Module):
         """
         n_stage = len(self.encoder_channels)
         in_dtype = x.dtype
-        if self.engine in ("pallas", "pallas_mxu"):
+        if self.engine in ("pallas", "pallas_zrun", "pallas_mxu"):
             # the pallas sparse levels already compute at bf16 MXU
             # precision (tables are packed bf16); keep the dense tail
             # consistent — accumulation stays f32 inside the convs

@@ -95,7 +95,9 @@ class TilePlan:
     # the SORTED overflow list — the correction is applied in-kernel as
     # a per-tile one-hot dot (an XLA scatter-add of the spill rows
     # measured 3-4 ms/conv: TPU scatters serialize)
-    ov_pos: jax.Array  # (M,) int32 input positions, sorted by ov_out
+    ov_pos: jax.Array  # (M,) int32 input positions, grouped by tile
+    # (contiguous per-tile segments; tap-major inside a tile, NOT
+    # sorted by output site)
     ov_out: jax.Array  # (M,) int32 output sites (n_tiles * T = drop)
     ov_tap: jax.Array  # (M,) int32 tap index (original order)
     n_overflow: jax.Array  # () int32 true overflow count (may exceed M);
@@ -160,6 +162,11 @@ def _compact_overflow(overflow, pos3, n_tiles, tile, miss_sentinel,
     exceeds the kernel's scan budget — so the callers' single
     n_overflow > capacity check covers both truncation modes.
     """
+    if overflow_capacity % 8 or tile_ov % 8:  # pragma: no cover
+        # seg starts are &~7-aligned and clipped to max(m - mt, 0): the
+        # kernel's pl.multiple_of(seg, 8) hint is only sound when both
+        # bounds are themselves 8-aligned (ADVICE r4)
+        raise ValueError("overflow capacity and tile_ov must be 8-aligned")
     K = overflow.shape[0]
     m = overflow_capacity
     ov_tm = jnp.transpose(overflow, (1, 0, 2))  # (n_tiles, K, tile)

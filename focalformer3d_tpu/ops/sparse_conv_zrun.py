@@ -295,7 +295,11 @@ def _build_wext(weights: jax.Array, kz: int, ky: int, kx: int,
 def _shift1(a: jax.Array, pack: int, cout: int) -> jax.Array:
     """Shift the UNPACKED row index by 1: out[w] = a[w + 1] where a is
     packed (wb, pack*cout) with sub-rows on lanes. Wrapped tail rows are
-    never selected (the builder guarantees anchor + maxoff < window)."""
+    never selected (the builder guarantees anchor + maxoff < window).
+
+    Operands must be 32-bit: Mosaic's tpu.dynamic_rotate rejects bf16
+    ("Rotate with non-32-bit data"), so callers shift the f32 Yext and
+    cast to bf16 only when staging into ycat."""
     wb = a.shape[0]
     r1 = pltpu.roll(a, wb - 1, 0)  # rows up by 1
     if pack == 1:
@@ -338,6 +342,14 @@ def _zkernel(
     lane_g = jax.lax.broadcasted_iota(jnp.int32, (T, 4 * pc), 1)
     sigma = lane_g // pc
     sub = (lane_g - sigma * pc) // cout
+    # stacked-identity reduction matrix: sum the 4*pack cout-blocks of
+    # gsel with ONE MXU dot (Mosaic can't reshape lanes (T, 4pc) ->
+    # (T, 4p, cout)). gsel entries are one-hot-selected bf16 values, so
+    # the bf16 cast before this dot is lossless and the f32-accumulated
+    # dot matches the "partials rounded to bf16, summed in f32" contract
+    red_i = jax.lax.broadcasted_iota(jnp.int32, (4 * pc, cout), 0)
+    red_j = jax.lax.broadcasted_iota(jnp.int32, (4 * pc, cout), 1)
+    red = (red_i % cout == red_j).astype(jnp.bfloat16)
 
     for s in range(S):
         t_id = i * S + s
@@ -360,7 +372,7 @@ def _zkernel(
                 ].astype(jnp.bfloat16)  # (wb, p*C)
                 yext = jnp.dot(
                     win, wext_ref[g], preferred_element_type=jnp.float32
-                ).astype(jnp.bfloat16)  # (wb, kx*kz*pc)
+                )  # (wb, kx*kz*pc) f32: rotates must be 32-bit on Mosaic
                 for dx in range(kx):
                     a0 = yext[:, dx * 3 * pc:dx * 3 * pc + pc]
                     a1 = yext[:, dx * 3 * pc + pc:dx * 3 * pc + 2 * pc]
@@ -368,10 +380,10 @@ def _zkernel(
                     s1 = _shift1(a1, pack, cout)
                     s21 = _shift1(a2, pack, cout)
                     s22 = _shift1(s21, pack, cout)
-                    ycat_ref[:, 0:pc] = a0
-                    ycat_ref[:, pc:2 * pc] = s1
-                    ycat_ref[:, 2 * pc:3 * pc] = s22
-                    ycat_ref[:, 3 * pc:4 * pc] = s21
+                    ycat_ref[:, 0:pc] = a0.astype(jnp.bfloat16)
+                    ycat_ref[:, pc:2 * pc] = s1.astype(jnp.bfloat16)
+                    ycat_ref[:, 2 * pc:3 * pc] = s22.astype(jnp.bfloat16)
+                    ycat_ref[:, 3 * pc:4 * pc] = s21.astype(jnp.bfloat16)
                     codev = code_ref[0, s, :, g * kx + dx][:, None]
                     rel = codev >> 4  # (T, 1)
                     pat = codev & 15
@@ -385,9 +397,9 @@ def _zkernel(
                     keep = (jnp.right_shift(pat, sigma) & 1) == 1
                     if pack > 1:
                         keep = keep & (sub == rel % pack)
-                    gsel = jnp.where(keep, gsel, 0.0)
-                    acc = acc + jnp.sum(
-                        gsel.reshape(T, 4 * pack, cout), axis=1
+                    gs = jnp.where(keep, gsel, 0.0).astype(jnp.bfloat16)
+                    acc = acc + jnp.dot(
+                        gs, red, preferred_element_type=jnp.float32
                     )
             # per-tile window-spill correction (same scheme as the
             # one-hot kernel: the tile's slice of the tile-grouped spill
