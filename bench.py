@@ -114,7 +114,7 @@ def main(engine: str | None = None):
             out_capacity=cfg.out_capacity,
             engine="pallas" if jax.default_backend() == "tpu" else "voxel",
             assume_csr=True,
-            dense_from=cfg.sparse_dense_from,
+            dense_from=cfg.sparse_dense_from_eval,
         )
         ev = {"params": variables["params"]["pts_middle_encoder"],
               "batch_stats": variables.get("batch_stats", {}).get(
@@ -166,15 +166,39 @@ def main(engine: str | None = None):
 
     try:
         # HBM bytes/scan from XLA's cost model (arithmetic-intensity
-        # observability — VERDICT r2 item 1d)
+        # observability — VERDICT r2 item 1d). The production graph
+        # carries the exact-XLA fallback branch of every conv's
+        # lax.cond, and cost_analysis counts BOTH branches (VERDICT r4
+        # item 3: 122 -> 399 GB with no real traffic change), so the
+        # headline bytes come from a fallback-free compile of the same
+        # model (identical math whenever truncated=false, which this
+        # bench measures); the both-branches number is kept as _graph.
         cost = _compiled.cost_analysis() if _compiled else None
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else None
         if cost:
-            extra["bytes_accessed_per_scan"] = int(
+            extra["bytes_accessed_per_scan_graph"] = int(
                 cost.get("bytes accessed", 0))
             extra["gflops_per_scan"] = round(
                 cost.get("flops", 0.0) / 1e9, 1)
+        cfg_nf = dataclasses.replace(cfg, sparse_exact_fallback=False)
+        model_nf = FocalFormer3D(cfg_nf)
+
+        @jax.jit
+        def infer_nf(variables, points, mask, eps):
+            vox = preprocess_points(cfg_nf, points + eps, mask)
+            out = model_nf.apply(variables, vox, None, False)
+            dec = fd.get_bboxes(cfg_nf.decoder, out, 200)
+            return dec, dec["scores"].sum() * 0.0
+
+        cost_nf = infer_nf.lower(
+            variables, points, mask, jnp.float32(0)).compile(
+        ).cost_analysis()
+        if isinstance(cost_nf, (list, tuple)):
+            cost_nf = cost_nf[0] if cost_nf else None
+        if cost_nf:
+            extra["bytes_accessed_per_scan"] = int(
+                cost_nf.get("bytes accessed", 0))
     except Exception as e:
         print(f"cost analysis unavailable: {e}", file=sys.stderr)
 

@@ -60,13 +60,23 @@ class DetectorConfig:
     # 'auto' picks the Pallas windowed-gather engine on TPU backends and
     # the XLA gather-GEMM engine elsewhere (CPU tests, interpret mode).
     sparse_engine: str = "auto"
+    # Keep the checked exact-XLA reroute in the graph (production
+    # default). False drops the lax.cond fallback branch so XLA's cost
+    # model reports taken-path bytes — telemetry compiles only
+    # (bench.py); outputs are identical whenever no plan overflows its
+    # spill list (the driver bench measures truncated=false).
+    sparse_exact_fallback: bool = True
     # first encoder level computed on the dense grid (see
-    # SparseEncoder.dense_from). Swept on radial nuScenes-scale scans
-    # (r3): dense from L3 beats both all-sparse (the L3 grid is 30%+
-    # occupied) and dense-from-L2 (the 360^2 x 11 x 64ch grid still
-    # out-costs the sparse plans); dense levels are also exact with no
-    # capacity bound / plan windows
+    # SparseEncoder.dense_from). Swept on radial nuScenes-scale scans:
+    # dense from L3 beats all-sparse (the L3 grid is 30%+ occupied); the
+    # r5 re-sweep (tools/micro_dense_from.py after the r4 plan/apply
+    # optimizations) measured dense-from-L2 another ~23 ms faster at
+    # INFERENCE (250.9 vs 274.3 ms encoder, rel err 8.7e-3 = bf16
+    # scale), so eval uses 2. Training keeps 3: the dense train path
+    # runs f32 convs (see _DenseConvBN), and an f32 360^2 x 11 x 64
+    # activation set per block is memory it doesn't need to spend.
     sparse_dense_from: int = 3
+    sparse_dense_from_eval: int = 2
     second_channels: Tuple[int, ...] = (128, 256)
     second_layers: Tuple[int, ...] = (5, 5)
     fpn_channels: Tuple[int, ...] = (256, 256)
@@ -230,7 +240,13 @@ class FocalFormer3D(nn.Module):
                 out_capacity=cfg.out_capacity,
                 engine=engine,
                 assume_csr=True,  # ops/voxelize emits CSR order
-                dense_from=cfg.sparse_dense_from,
+                # parameters are identical across dense/sparse levels,
+                # so train and eval may split the dense boundary (a
+                # frozen pts branch runs eval-mode and takes the eval
+                # boundary too)
+                dense_from=(cfg.sparse_dense_from if pts_train
+                            else cfg.sparse_dense_from_eval),
+                exact_fallback=cfg.sparse_exact_fallback,
                 name="pts_middle_encoder",
             )(feats, voxel_data["coords"], valid, pts_train)
 

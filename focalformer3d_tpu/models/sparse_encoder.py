@@ -394,6 +394,10 @@ class SparseEncoder(nn.Module):
     # plans measured 0 spills at window 1792 and keep the cheaper 512.
     plan_tile_ov: int = 1024
     plan_tile_ov_down: int = 512
+    # False drops the checked exact-XLA reroute from the graph so XLA
+    # cost analysis reports taken-path bytes (telemetry compiles only —
+    # see ModelConfig.sparse_exact_fallback)
+    exact_fallback: bool = True
 
     @nn.compact
     def __call__(self, features, coords, valid, train: bool = False):
@@ -571,9 +575,10 @@ class SparseEncoder(nn.Module):
                         window=win, overflow_capacity=ov, tile_ov=tov,
                         meta9=m9 if ks == 3 else None,
                     )
+                rules_fb = rules if self.exact_fallback else None
                 if subm:
-                    return (plan, plan, rules, zp) if zrun else (
-                        plan, plan, rules)
+                    return (plan, plan, rules_fb, zp) if zrun else (
+                        plan, plan, rules_fb)
                 if om is None:
                     rules_t = scp.transpose_rules(rules, in_cap, ks)
                 else:
@@ -584,8 +589,8 @@ class SparseEncoder(nn.Module):
                 plan_t = scp.build_tile_plan(
                     rules_t, out_cap, ks, tile, win_t, ov, tov
                 )
-                return (plan, plan_t, rules, zp) if zrun else (
-                    plan, plan_t, rules)
+                return (plan, plan_t, rules_fb, zp) if zrun else (
+                    plan, plan_t, rules_fb)
 
             if subm or out_meta is None:
                 pair = jax.vmap(one)(table, out_coords, out_valid, meta9)

@@ -314,6 +314,17 @@ def _pack_factor(c: int) -> int:
                      f"of {_LANES}")  # pragma: no cover
 
 
+def _fused_default(pack: int) -> bool:
+    """Per-tap fused dots (v2) vs bulk gather+mask+concat staging (v1).
+
+    Measured per pack factor on the r5 TPU probe
+    (tools/micro_kernel_v2.py, bench scan, production windows): v2 wins
+    at pack 8 (C=16 subm -18%, down -13%) and pack 2 (C=64 subm -11%,
+    down -20%), loses at pack 4 (C=32 subm +5%, down +34%). Both
+    variants are bit-identical (same operand rounding)."""
+    return pack != 4
+
+
 def _pad_c(a: jax.Array, axis: int) -> jax.Array:
     """Pad a channel axis so it divides (or is a multiple of) 128."""
     c = a.shape[axis]
@@ -360,6 +371,7 @@ def _kernel(
     window: int,
     gather_mode: bool,
     tile_ov: int,
+    fused_taps: bool = False,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -397,17 +409,40 @@ def _kernel(
 
             acc = None
             for g in range(G):
-                for j in range(tpg):
-                    r = rel[:, g * tpg + j][:, None]  # (T, 1)
-                    oh_ref[j * T:(j + 1) * T, :] = (
-                        r // pack == iota_w
-                    ).astype(jnp.bfloat16)
                 start = pl.multiple_of(
                     starts_ref[b, t_id * G + g], _ALIGN
                 )
                 win = x_ref[
                     0, pl.ds(pl.multiple_of(start // pack, 8), wb), :
                 ].astype(jnp.bfloat16)  # (wb, cl)
+                if fused_taps and not gather_mode:
+                    # v2: per-tap fused dots — no oh/gath/mb staging
+                    # round trips (wbig_ref is (K, cl, Cout) here).
+                    # Rounding matches v1 exactly: gather output rows
+                    # are exact bf16 table values, masked, then one
+                    # bf16 dot with f32 accumulate per tap.
+                    for j in range(tpg):
+                        r = rel[:, g * tpg + j][:, None]  # (T, 1)
+                        oh = (r // pack == iota_w).astype(jnp.bfloat16)
+                        piece = jnp.dot(
+                            oh, win, preferred_element_type=jnp.float32
+                        )
+                        if pack > 1:
+                            piece = jnp.where(
+                                lane_blk == (r % pack), piece, 0.0
+                            )
+                        part = jnp.dot(
+                            piece.astype(jnp.bfloat16),
+                            wbig_ref[g * tpg + j],
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = part if acc is None else acc + part
+                    continue
+                for j in range(tpg):
+                    r = rel[:, g * tpg + j][:, None]  # (T, 1)
+                    oh_ref[j * T:(j + 1) * T, :] = (
+                        r // pack == iota_w
+                    ).astype(jnp.bfloat16)
                 gath = jnp.dot(
                     oh_ref[:, :], win, preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)  # (tpg*T, cl)
@@ -468,6 +503,7 @@ def _run_kernel(
     out_dtype,
     interpret: bool | None = None,
     contrib: jax.Array | None = None,  # (B, M, Cout) f32 sorted spills
+    fused_taps: bool | None = None,  # None = per-pack default
 ):
     K, C, cout = weights.shape
     B, n_tiles, T, _ = plan.rel.shape
@@ -507,11 +543,15 @@ def _run_kernel(
     else:
         ov_out = plan.ov_out[..., None]
 
+    if fused_taps is None:
+        fused_taps = _fused_default(pack)
+    fused = fused_taps and not gather_mode
     # band-tiled weights: Wbig[g][j*cl + b*C + c, o] = W[perm[g*tpg+j]][c, o]
+    # (fused variant keeps per-tap matrices: (K, cl, Cout))
     wperm = weights[jnp.asarray(plan.perm)]  # (K, C, Cout)
-    wbig = jnp.tile(wperm.astype(jnp.bfloat16), (1, pack, 1)).reshape(
-        G, tpg * cl, cout
-    )
+    wbig = jnp.tile(wperm.astype(jnp.bfloat16), (1, pack, 1))
+    if not fused:
+        wbig = wbig.reshape(G, tpg * cl, cout)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -540,8 +580,11 @@ def _run_kernel(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tpg * T, plan.window // pack), jnp.bfloat16),
-            pltpu.VMEM((T, tpg * cl), jnp.bfloat16),
+            # the fused variant builds its one-hots and pieces as values
+            pltpu.VMEM((8, _LANES) if fused else
+                       (tpg * T, plan.window // pack), jnp.bfloat16),
+            pltpu.VMEM((8, _LANES) if fused else (T, tpg * cl),
+                       jnp.bfloat16),
         ],
     )
     out = pl.pallas_call(
@@ -552,6 +595,7 @@ def _run_kernel(
             window=plan.window,
             gather_mode=gather_mode,
             tile_ov=plan.tile_ov,
+            fused_taps=fused,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * T, n_out), out_dtype),
@@ -642,21 +686,23 @@ def _float0_like(tree):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _conv_core(interpret, in_capacity, x, w, plan, plan_t):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _conv_core(interpret, in_capacity, fused_taps, x, w, plan, plan_t):
     out = _run_kernel(
         x, plan, w, in_capacity, False, jnp.float32, interpret,
         contrib=_spill_contrib(x, w, plan, in_capacity),
+        fused_taps=fused_taps,
     )
     return out[:, : plan.v_out]
 
 
-def _conv_core_fwd(interpret, in_capacity, x, w, plan, plan_t):
-    out = _conv_core(interpret, in_capacity, x, w, plan, plan_t)
+def _conv_core_fwd(interpret, in_capacity, fused_taps, x, w, plan, plan_t):
+    out = _conv_core(interpret, in_capacity, fused_taps, x, w, plan,
+                     plan_t)
     return out, (x, w, plan, plan_t)
 
 
-def _conv_core_bwd(interpret, in_capacity, res, g):
+def _conv_core_bwd(interpret, in_capacity, fused_taps, res, g):
     x, w, plan, plan_t = res
     B = x.shape[0]
     v_out = plan.v_out
@@ -739,6 +785,7 @@ def apply_conv_pallas_batched(
     kernel_size=3,
     out_dtype=None,
     interpret: bool | None = None,
+    fused_taps: bool | None = None,  # None = per-pack default
 ) -> jax.Array:
     """Batched sparse conv apply, differentiable (custom VJP).
 
@@ -763,7 +810,8 @@ def apply_conv_pallas_batched(
     weights = _pad_c(weights, 1)
     in_capacity = features.shape[1]
     out = _conv_core(
-        bool(interpret), in_capacity, features, weights, plan, plan_t
+        bool(interpret), in_capacity, fused_taps, features, weights,
+        plan, plan_t,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)[None, None, :]

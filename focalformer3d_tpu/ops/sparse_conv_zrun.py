@@ -574,7 +574,7 @@ def _zconv_core_bwd(interpret, in_capacity, res, g):
     along as residuals; XLA dead-code-eliminates them in inference)."""
     x, w, zplan, plan, plan_t = res
     dx, dw, f_plan, f_plan_t = scp._conv_core_bwd(
-        interpret, in_capacity, (x, w, plan, plan_t), g
+        interpret, in_capacity, None, (x, w, plan, plan_t), g
     )
     return dx, dw, _float0_like(zplan), f_plan, f_plan_t
 

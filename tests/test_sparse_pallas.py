@@ -64,6 +64,28 @@ def test_subm_parity(window, overflow_cap):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("fused", [False, True])
+def test_subm_parity_both_variants(fused):
+    """v1 (bulk gather+mask+concat) and v2 (per-tap fused dots) must be
+    bit-identical to the XLA engine at bf16-exact inputs; the production
+    per-pack default (scp._fused_default) picks between them, so both
+    branches stay covered regardless of the policy table."""
+    rng = np.random.RandomState(11)
+    table, coords, valid, feats, shape = _csr_setup(rng)
+    V = coords.shape[0]
+    rules = sc.build_subm_rules(table, shape, 3, use_positions=True)
+    w = _bf16_vals(rng, (27, feats.shape[1], 12), 1 / 16)
+    ref = sc.apply_conv(feats, rules, w, valid)
+    plan = scp.build_tile_plan(rules, V, 3, tile=16, window=128,
+                               overflow_capacity=64)
+    out = scp.apply_conv_pallas_batched(
+        feats[None], jax.tree.map(lambda a: a[None], plan),
+        jax.tree.map(lambda a: a[None], plan), w, valid[None],
+        interpret=True, fused_taps=fused,
+    )[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_subm_grads():
     rng = np.random.RandomState(1)
     table, coords, valid, feats, shape = _csr_setup(rng)

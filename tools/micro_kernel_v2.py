@@ -244,11 +244,11 @@ def main():
         (y_ref,) = (jax.jit(
             lambda f, w_: sc.apply_conv(f, rules, w_, table.valid)
         )(x, w),)
-        (y1,), dt1 = timed(
+        y1, dt1 = timed(
             f"L{level} subm v1 one-hot {C}^2",
             lambda f, w_: scp.apply_conv_pallas_batched(
                 f[None], pb_, pb_, w_, table.valid[None])[0], x, w)
-        (y2,), dt2 = timed(
+        y2, dt2 = timed(
             f"L{level} subm v2 per-tap {C}^2",
             lambda f, w_: run_v2(f, plan, w_, cap, table.valid), x, w)
         n_apply = 5 if level == 0 else 4
@@ -289,11 +289,11 @@ def main():
         dpb = jax.tree.map(lambda a: a[None], plan_d)
         yd_ref = jax.jit(
             lambda f, w_: sc.apply_conv(f, rules_d, w_, out_valid))(x, wd)
-        (yd1,), dd1 = timed(
+        yd1, dd1 = timed(
             f"L{level} down v1 one-hot {C}->{cout}",
             lambda f, w_: scp.apply_conv_pallas_batched(
                 f[None], dpb, dpb, w_, out_valid[None])[0], x, wd)
-        (yd2,), dd2 = timed(
+        yd2, dd2 = timed(
             f"L{level} down v2 per-tap {C}->{cout}",
             lambda f, w_: run_v2(f, plan_d, w_, cap, out_valid), x, wd)
         tot_v1 += dd1
