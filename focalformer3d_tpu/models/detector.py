@@ -138,10 +138,21 @@ def preprocess_points(cfg: DetectorConfig, points: jax.Array,
     vcfg = cfg.voxel
     if not train and vcfg.max_voxels_test:
         vcfg = dataclasses.replace(vcfg, max_voxels=vcfg.max_voxels_test)
+
+    def batched(fn):
+        # vmap lowers the voxelizer's sort/scatter/cumsum through the
+        # batched-gather path and costs ~4.3 ms/scan EXTRA even at B=1
+        # (tools/micro_enc_batch.py ledger, r5); a Python-unrolled loop
+        # keeps every sample on the fast unbatched lowering. vmap only
+        # past the unroll budget (compile size scales with B).
+        B = points.shape[0]
+        if B <= 8:
+            outs = [fn(points[b], mask[b]) for b in range(B)]
+            return jax.tree.map(lambda *x: jnp.stack(x), *outs)
+        return jax.vmap(fn)(points, mask)
+
     if cfg.vfe_type == "DynamicSimpleVFE":
-        out = jax.vmap(lambda p, m: vox.dynamic_voxelize(vcfg, p, m))(
-            points, mask
-        )
+        out = batched(lambda p, m: vox.dynamic_voxelize(vcfg, p, m))
         return {
             "features": out["features"],
             "coords": out["coords"],
@@ -149,13 +160,8 @@ def preprocess_points(cfg: DetectorConfig, points: jax.Array,
         }
     if cfg.vfe_type == "HardSimpleVFE":
         # fused voxelize+mean (skips the (V, P, D) voxel tensor)
-        return jax.vmap(
-            lambda p, m: vox.hard_voxelize_simple(vcfg, p, m)
-        )(points, mask)
-    out = jax.vmap(lambda p, m: vox.hard_voxelize(vcfg, p, m))(
-        points, mask
-    )
-    return out
+        return batched(lambda p, m: vox.hard_voxelize_simple(vcfg, p, m))
+    return batched(lambda p, m: vox.hard_voxelize(vcfg, p, m))
 
 
 class FocalFormer3D(nn.Module):

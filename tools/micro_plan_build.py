@@ -123,10 +123,13 @@ def main():
     t = timeit(mx_fn, table.meta, colz, chunks)
     print(f"build_plan_mxu:       {t*1e3:8.2f} ms", flush=True)
 
-    colz_o = jax.jit(lambda c, v: pb.colz_from_coords(c, v, _os[2]))(
+    # out shape must be STATIC here (jitted build_downsample returns
+    # traced scalars; a traced out_w would be captured by the kernel)
+    os2 = sc.conv_out_shape(shape, 3, 2, (1, 1, 1))
+    colz_o = jax.jit(lambda c, v: pb.colz_from_coords(c, v, os2[2]))(
         oc, ov)
     mx2_fn = jax.jit(lambda m, cz, ch: plansum(pb.build_plan_mxu(
-        m, cz, V, 3, 2, (1, 1, 1), shape, _os[2], tile=256,
+        m, cz, V, 3, 2, (1, 1, 1), shape, os2[2], tile=256,
         window=896, overflow_capacity=16384, chunks=ch)))
     t = timeit(mx2_fn, table.meta, colz_o, chunks)
     print(f"build_plan_mxu(s2):   {t*1e3:8.2f} ms", flush=True)
