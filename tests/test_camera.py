@@ -316,6 +316,7 @@ class TestLCFusionSmoke:
             img_hw=IMG_HW,
         )
 
+    @pytest.mark.slow
     def test_lc_forward(self, batch):
         cfg = tiny_lc_config(input_pts=True)
         model = FocalFormer3D(cfg)

@@ -46,9 +46,12 @@ def _zeros_variables(config_name):
 
 
 @pytest.mark.parametrize("config_name", [
-    "FocalFormer3D_L", "FocalFormer3D_LC", "DeformFormer3D_L",
-    "FocalFormer3D_LC_Proj", "DeformFormer3D_C_R50",
-    "FocalFormer3D_Waymo_L", "FocalFormer3D_LC_TTA",
+    "FocalFormer3D_L", "FocalFormer3D_LC",
+    pytest.param("DeformFormer3D_L", marks=pytest.mark.slow),
+    pytest.param("FocalFormer3D_LC_Proj", marks=pytest.mark.slow),
+    pytest.param("DeformFormer3D_C_R50", marks=pytest.mark.slow),
+    pytest.param("FocalFormer3D_Waymo_L", marks=pytest.mark.slow),
+    pytest.param("FocalFormer3D_LC_TTA", marks=pytest.mark.slow),
 ])
 def test_full_coverage(config_name):
     cfg, variables = _zeros_variables(config_name)

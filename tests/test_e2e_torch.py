@@ -575,6 +575,7 @@ class TestComposedForward:
         ref = ref[0].permute(1, 2, 0).numpy()
         _close(got, ref, 2e-4, "sparse encoder BEV")
 
+    @pytest.mark.slow
     def test_full_model_vs_oracle(self, setup):
         """Stages B-E: SECOND/FPN -> FocalEncoder -> FocalDecoder ->
         get_bboxes, full-composition."""

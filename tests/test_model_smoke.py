@@ -139,6 +139,7 @@ class TestDetectorSmoke:
         assert masks[:, 1].min() == 0.0  # second stage: something masked
 
 
+@pytest.mark.slow
 def test_boxcls_masking_mode_forward():
     """'boxcls' heatmap masking with dense box heads runs end-to-end and
     changes the accumulative mask vs 'poscls' (VERDICT item 9)."""
@@ -178,6 +179,7 @@ def test_boxcls_masking_mode_forward():
     assert m_box.sum() <= m_pos.sum()
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_dtype_close_to_f32():
     """with_compute_dtype('bfloat16') runs the same params and stays close
     to the float32 forward (inference path; heads emit float32)."""

@@ -133,6 +133,7 @@ class TestConvParity:
 
 
 class TestEncoderParity:
+    @pytest.mark.slow
     def test_full_encoder_engines_match(self):
         rng = np.random.RandomState(5)
         shape = (25, 64, 64)
@@ -255,6 +256,7 @@ class TestDenseTail:
 
 
 class TestMxuEngineParity:
+    @pytest.mark.slow
     def test_pallas_mxu_engine_matches_voxel(self):
         """engine='pallas_mxu' (MXU-gather plan builder + pallas conv,
         interpret mode on CPU) equals the voxel engine on the SAME
@@ -302,6 +304,7 @@ class TestMxuEngineParity:
 
 
 class TestPallasEncoderGrads:
+    @pytest.mark.slow
     def test_pallas_engine_grads_match_voxel(self):
         """Gradient parity of the full pallas-engine encoder vs the voxel
         engine (same params): exercises the transposed-plan path — subm
@@ -365,6 +368,7 @@ class TestPallasEncoderGrads:
                 err_msg=str(path),
             )
 
+    @pytest.mark.slow
     def test_pallas_dense_tail_train_grads(self):
         """Regression: engine='pallas' with a dense tail casts activations
         to bf16, whose conv had no valid transpose under train=True

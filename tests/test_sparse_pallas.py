@@ -217,6 +217,7 @@ def test_overflow_spill_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_engine_parity():
     """SparseEncoder(engine='pallas') matches engine='voxel' end-to-end."""
     from focalformer3d_tpu.models.sparse_encoder import SparseEncoder

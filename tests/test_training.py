@@ -45,6 +45,7 @@ class TestTrainStep:
         # overfitting a single batch must reduce the loss substantially
         assert losses[-1] < losses[0] * 0.9, losses
 
+    @pytest.mark.slow
     def test_eval_step_runs(self):
         cfg = tiny_config()
         lcfg = LossConfig(code_weights=(1.0,) * 8 + (0.2, 0.2))

@@ -7,6 +7,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 ROOT = Path(__file__).resolve().parent.parent
 
@@ -40,6 +41,7 @@ def _make_fixture(root: Path, n_frames=2):
         pickle.dump(infos, f)
 
 
+@pytest.mark.slow
 def test_waymo_dataset_and_cli_eval(tmp_path):
     _make_fixture(tmp_path)
 

@@ -44,10 +44,11 @@ def main():
     from focalformer3d_tpu.ops import sparse_conv as sc
     from focalformer3d_tpu.ops import sparse_conv_pallas as scp
 
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     cfg = get_config("FocalFormer3D_L")["model"]
     rng = np.random.RandomState(0)
     batch = synthetic.make_batch(
-        rng, batch_size=1, n_points=200000, n_boxes=24, max_gts=32,
+        rng, batch_size=B, n_points=200000, n_boxes=24, max_gts=32,
         num_classes=cfg.decoder.num_classes,
         pc_range=cfg.voxel.point_cloud_range,
     )
