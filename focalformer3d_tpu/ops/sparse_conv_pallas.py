@@ -609,10 +609,11 @@ def _run_kernel(
 
 
 def _spill_contrib(features, weights, plan, in_capacity):
-    """Per-spill output-row contributions (B, M, Cout) f32, sorted by
-    output site (the plan sorts its list). Fed to the kernel's per-tile
-    one-hot correction dot; rounding matches the old scatter path
-    exactly (bf16 operands, f32 accumulate, one tap per row)."""
+    """Per-spill output-row contributions (B, M, Cout) f32, grouped by
+    tile (contiguous per-tile segments, tap-major inside a tile — NOT
+    sorted by output site). Fed to the kernel's per-tile one-hot
+    correction dot; rounding matches the old scatter path exactly
+    (bf16 operands, f32 accumulate, one tap per row)."""
     K, C, cout = weights.shape
     wf = jnp.transpose(weights.astype(jnp.bfloat16), (1, 0, 2)).reshape(
         C, K * cout
